@@ -1,13 +1,37 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are grouped by package:
+  *   - [[graft.queries.Relational]] — pipeline relational shell + TPC-H-ish
+  *   - [[graft.queries.Dedup]] — exact / minhash / simhash / jaccard dedup
+  *   - [[graft.queries.Similarity]] — embedding ANN / cosine top-k
+  *   - [[graft.queries.TextAnalysis]] — langid / quality / tokens / fingerprint
+  *   - [[graft.queries.Extraction]] — the span-extraction pipeline itself
+  *     (non-SQL-expressible parts get rows-only checks; span-level
+  *     correctness runs under `sbt -batch test`)
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries.getOrElse("extract_pipeline",
+      queries("q1_pricing_summary"))(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries ++
+      graft.queries.TextAnalysis.queries ++
+      graft.queries.Extraction.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracle ++
+      graft.queries.Dedup.oracle ++
+      graft.queries.Similarity.oracle ++
+      graft.queries.TextAnalysis.oracle ++
+      graft.queries.Extraction.oracle
 }

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational shell of the extraction pipeline plus TPC-H-flavoured headline
+  * queries over the driver testdata. Every query here has an exact DuckDB
+  * oracle (see the paired SQL in [[Relational.oracle]]).
+  *
+  * Determinism discipline (driver hashes values): all floating-point
+  * aggregates run through exact DECIMAL(18,2)/(18,4) arithmetic so results
+  * are independent of partial-aggregation order, then cast to double at the
+  * very end. Counts stay BIGINT. Every query carries a total ORDER BY.
+  *
+  * Scale notes are on each query: what broadcasts, what shuffles, and why
+  * the plan survives 1000 executors.
+  */
+object Relational {
+
+  private val D2 = DecimalType(18, 2)
+
+  private def dec2(c: Column): Column = c.cast(D2)
+
+  /** TPC-H Q1 style pricing summary.
+    * Scale: single hash-aggregate over lineitem; partial aggregation
+    * (map-side combine) reduces the shuffle to |groups| rows per task.
+    * Grouping keys have cardinality ~6, so the shuffle is negligible at any
+    * scale; the scan is the cost and it prunes to 7 columns.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D2) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3 style shipping priority: 3-way join + top-10.
+    * Scale: customer filter first (prunes the build side), then shuffle
+    * joins on orderkey; the final TopK is `orderBy+limit` which Spark plans
+    * as TakeOrderedAndProject — no global sort materialisation.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D2) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Region -> nation -> supplier rollup.
+    * Scale: region (5 rows) and nation (25 rows) are broadcast — zero
+    * shuffle on the big side; the aggregate is partial+final over 5 groups.
+    */
+  def q5RegionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region")
+    val nation = Tables(spark, dir, "nation")
+    val supp = Tables(spark, dir, "supplier")
+    supp
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(dec2(col("s_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Top-3 orders per customer by totalprice (window TopK).
+    * Scale: one shuffle on o_custkey; rank inside partitions. At 100 TB the
+    * window is the canonical per-key TopK — Spark pushes a per-partition
+    * limit via WindowGroupLimit before the shuffle (rankLimit optimisation).
+    */
+  def qWindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+        dec2(col("o_totalprice")).cast("double").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Hourly event rollup (the batch shape of the streaming windowed agg).
+    * Scale: partial aggregation collapses to |event_type × hour| groups
+    * before the shuffle.
+    */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Resume anti-join — the Spark restatement of the reference's cache-hit
+    * path (extract.go:107-153): docs already present in the committed
+    * manifest are skipped. Manifest here is simulated deterministically as
+    * doc_id % 7 == 0 (in production it is the lineage table, broadcast when
+    * small, shuffled-hash otherwise).
+    * Scale: left_anti on doc_id; manifest side broadcasts.
+    */
+  def shellResumeAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val manifest = docs.select(col("doc_id")).filter(col("doc_id") % 7 === 0)
+    docs.join(broadcast(manifest), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source extraction metrics — the lineage-table aggregate
+    * (docs / bytes / failures per partition of work).
+    * Scale: hash agg, |sources| groups.
+    */
+  def shellMetricsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"),
+        count(when(col("n_chars") < 100, 1)).as("short_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Salting policy distribution — mega-documents (by byte cost) get spread
+    * over 8 salt buckets, small docs keep salt 0. This is the policy the
+    * extraction stage uses to keep one scanned-PDF-heavy row from stalling
+    * a task (reference analog: the fork threshold, config.go:27).
+    * Output: per (bucket) doc count + bytes, proving the skew spread.
+    */
+  def shellSaltDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val salted = docs.withColumn("salt",
+      when(col("n_chars") > 300, pmod(col("doc_id"), lit(8)).cast("int"))
+        .otherwise(lit(0)))
+    salted.groupBy(col("salt"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("bytes"))
+      .orderBy(col("salt"))
+  }
+
+  /** Failure-code classification mirroring the reference's error paths:
+    * zero_size/too_large (docfactory.go:28-29) and ok. Row-level predicate,
+    * then a tiny aggregate.
+    */
+  def shellFailureCodes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs.select(
+        when(col("n_chars") === 0, "zero_size")
+          .when(col("n_chars") > 100000, "too_large")
+          .otherwise("ok").as("failure_code"))
+      .groupBy(col("failure_code"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy(col("failure_code"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_region_rollup" -> (q5RegionRollup _),
+    "q_window_top_orders" -> (qWindowTopOrders _),
+    "q_events_hourly" -> (qEventsHourly _),
+    "shell_resume_antijoin" -> (shellResumeAntiJoin _),
+    "shell_metrics_agg" -> (shellMetricsAgg _),
+    "shell_salt_distribution" -> (shellSaltDistribution _),
+    "shell_failure_codes" -> (shellFailureCodes _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey ASC
+         LIMIT 10""",
+    "q5_region_rollup" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_window_top_orders" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders) t
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "shell_resume_antijoin" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE NOT (doc_id % 7 = 0)
+         ORDER BY doc_id""",
+    "shell_metrics_agg" ->
+      """SELECT source, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         MAX(n_chars) AS max_chars,
+         COUNT(CASE WHEN n_chars < 100 THEN 1 END) AS short_docs
+         FROM documents GROUP BY source ORDER BY source""",
+    "shell_salt_distribution" ->
+      """SELECT salt, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS bytes FROM (
+           SELECT CASE WHEN n_chars > 300 THEN CAST(doc_id % 8 AS INT) ELSE 0 END AS salt, n_chars
+           FROM documents) t
+         GROUP BY salt ORDER BY salt""",
+    "shell_failure_codes" ->
+      """SELECT failure_code, COUNT(*) AS docs FROM (
+           SELECT CASE WHEN n_chars = 0 THEN 'zero_size'
+                       WHEN n_chars > 100000 THEN 'too_large'
+                       ELSE 'ok' END AS failure_code
+           FROM documents) t
+         GROUP BY failure_code ORDER BY failure_code"""
+  )
+}
