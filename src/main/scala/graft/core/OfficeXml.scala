@@ -1,0 +1,230 @@
+package graft.core
+
+import java.io.ByteArrayInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import scala.collection.mutable
+
+/** OOXML / ODF (docx, pptx, odt, odp) text + metadata extraction.
+  *
+  * Reference semantics:
+  *   - content discovery: pkg/officexmlparser/office_parser.go:60-117 —
+  *     `content.xml` / `word/document.xml`, plus every xml under ppt/slides/
+  *     (numerically sorted, body tag switches to `cSld`);
+  *   - XML→text: pkg/officexmlparser/xmltotext.go:15-81 — skip until body
+  *     tag, collapse ASCII `\s{2,}` runs to one space, drop whitespace-only
+  *     char data unless the original was a single byte, `</p> </h> </br>`
+  *     emit '\n', `</text:s>` emits ' ', `<tableStyleId>` swallows the next
+  *     token (pptx style UUID);
+  *   - metadata: office_parser.go:133-226 — Dublin Core + stats mapped to
+  *     `x-document-*` keys (NB `Publisher` → x-document-author).
+  */
+object OfficeXml {
+
+  final case class OfficeDoc(
+      contentTexts: Vector[String], // one per content file (pptx: per slide)
+      metadata: Map[String, String],
+      isSlides: Boolean) {
+    /** StreamText equivalent (office_parser.go:228-242). */
+    def fullText: String = contentTexts.mkString
+    /** Pages() (office_parser.go:244-252): pptx slide count, else -1. */
+    def pages: Int = if (contentTexts.length > 1) contentTexts.length else -1
+  }
+
+  final class ContentNotFoundException
+    extends RuntimeException("content file not found in ZIP file")
+
+  private val ContentFileNames = Set("content.xml", "word/document.xml")
+  private val Breaks = Set("p", "h", "br") // office_parser.go:33
+  private val SlideRe = "ppt/slides/slide([0-9]+)\\.xml".r
+
+  def parse(data: Array[Byte], ext: String): OfficeDoc = {
+    val wanted = (n: String) =>
+      ContentFileNames.contains(n) ||
+        (n.startsWith("ppt/slides/") && n.endsWith(".xml")) ||
+        n == "meta.xml" || n == "docProps/app.xml" || n == "docProps/core.xml"
+    val entries = ZipArchive.entries(data, wanted)
+
+    val md = mutable.LinkedHashMap[String, String](
+      "x-parsed-by" -> "text-extraction-service",
+      "x-doctype" -> ext)
+
+    var bodyTag = "body"
+    val content = Vector.newBuilder[(Int, Int, ZipArchive.Entry)] // (sortNum, idx, e)
+    var idx = 0
+    entries.foreach { e =>
+      e.name match {
+        case n if ContentFileNames.contains(n) =>
+          content += ((0, idx, e)); idx += 1
+        case n if n.startsWith("ppt/slides/") && n.endsWith(".xml") =>
+          bodyTag = "cSld"
+          val num = n match { case SlideRe(d) => d.toInt; case _ => 0 }
+          content += ((num, idx, e)); idx += 1
+        case "meta.xml" => mapOpenDocumentMetadata(md, e.data)
+        case "docProps/app.xml" => mapMsOfficeStats(md, e.data)
+        case "docProps/core.xml" => mapMsOfficeCoreMetadata(md, e.data)
+        case _ =>
+      }
+    }
+    val files = content.result()
+    if (files.isEmpty) throw new ContentNotFoundException
+    // numeric slide sort (office_parser.go:103-115); stable on non-slides
+    val sorted =
+      if (files.length > 1) files.sortBy { case (num, i, _) => (num, i) }
+      else files
+    val texts = sorted.map { case (_, _, e) => xmlToText(e.data, bodyTag) }
+    OfficeDoc(texts, md.toMap, isSlides = bodyTag == "cSld")
+  }
+
+  /** Go regexp `\s` is ASCII [\t\n\f\r ] — match it exactly, not Java \s. */
+  private val ExcessiveWhitespace = "[\\t\\n\\f\\r ]{2,}".r
+
+  /** XmlToText (xmltotext.go:15-81). */
+  def xmlToText(xml: Array[Byte], startWith: String): String = {
+    val sb = new java.lang.StringBuilder
+    val factory = XMLInputFactory.newInstance()
+    factory.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.FALSE)
+    factory.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.FALSE)
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    try {
+      // skip until the body tag (xmltotext.go:21-34)
+      var inBody = false
+      while (!inBody && r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          localName(r) == startWith) inBody = true
+      }
+      if (!inBody) return ""
+
+      var skipNextText = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (skipNextText) skipNextText = false
+            else {
+              val t = r.getText
+              val cleaned = ExcessiveWhitespace.replaceAllIn(t, " ")
+              // drop whitespace-only runs unless original length was 1
+              // (xmltotext.go:46-56; original length is UTF-8 bytes in Go,
+              // but a run collapsing to " " is ASCII-whitespace-only, so
+              // char count == byte count)
+              if (t.length == 1 || cleaned != " ") sb.append(cleaned)
+            }
+          case XMLStreamConstants.START_ELEMENT =>
+            skipNextText = false
+            if (localName(r) == "tableStyleId") skipNextText = true
+          case XMLStreamConstants.END_ELEMENT =>
+            skipNextText = false
+            val (prefix, local) = prefixLocal(r)
+            if (Breaks.contains(local)) sb.append('\n')
+            if (prefix == "text" && local == "s") sb.append(' ')
+          case _ =>
+        }
+      }
+      sb.toString
+    } finally r.close()
+  }
+
+  private def localName(r: XMLStreamReader): String = prefixLocal(r)._2
+
+  /** With IS_NAMESPACE_AWARE=false the JDK parser reports `prefix:local`
+    * through getLocalName and an empty prefix — split manually to mirror
+    * Go RawToken's Name.Space/Name.Local.
+    */
+  private def prefixLocal(r: XMLStreamReader): (String, String) = {
+    val raw = r.getLocalName
+    val i = raw.indexOf(':')
+    if (i < 0) ("", raw) else (raw.substring(0, i), raw.substring(i + 1))
+  }
+
+  // ── metadata mapping ──────────────────────────────────────────────────────
+
+  /** Flat DOM-ish view: local element name → concatenated text (last
+    * occurrence wins, matching Go xml.Unmarshal), repeated names collected,
+    * attributes of named elements captured. Only used on the three small
+    * metadata XML files.
+    */
+  private final class XmlScan(xml: Array[Byte]) {
+    val lastText = mutable.HashMap[String, String]()
+    val allText = mutable.HashMap[String, mutable.ArrayBuffer[String]]()
+    val attrs = mutable.HashMap[String, Map[String, String]]()
+    try {
+      val factory = XMLInputFactory.newInstance()
+      factory.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.FALSE)
+      factory.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      val r = factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+      val stack = mutable.Stack[(String, java.lang.StringBuilder)]()
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            val raw = r.getLocalName
+            val local = { val i = raw.indexOf(':'); if (i < 0) raw else raw.substring(i + 1) }
+            if (r.getAttributeCount > 0) {
+              attrs(local) = (0 until r.getAttributeCount).map { i =>
+                val an = r.getAttributeLocalName(i)
+                val aLocal = { val j = an.indexOf(':'); if (j < 0) an else an.substring(j + 1) }
+                aLocal -> r.getAttributeValue(i)
+              }.toMap
+            }
+            stack.push((local, new java.lang.StringBuilder))
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (stack.nonEmpty) stack.top._2.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            if (stack.nonEmpty) {
+              val (name, text) = stack.pop()
+              val s = text.toString
+              lastText(name) = s
+              allText.getOrElseUpdate(name, mutable.ArrayBuffer()) += s
+            }
+          case _ =>
+        }
+      }
+      r.close()
+    } catch { case _: Exception => /* unparseable metadata is skipped, like Go */ }
+    def get(name: String): String = lastText.getOrElse(name, "")
+  }
+
+  private def put(md: mutable.Map[String, String], key: String, v: String): Unit =
+    if (v.nonEmpty) md(key) = v
+
+  /** office_parser.go:183-226. */
+  def mapOpenDocumentMetadata(md: mutable.Map[String, String], data: Array[Byte]): Unit = {
+    val s = new XmlScan(data)
+    put(md, "x-document-created", s.get("creation-date"))
+    put(md, "x-document-producer", s.get("generator"))
+    put(md, "x-document-creator", s.get("creator"))
+    put(md, "x-document-title", s.get("title"))
+    put(md, "x-document-author", s.get("publisher"))
+    put(md, "x-document-subject", s.get("subject"))
+    put(md, "x-document-modified", s.get("date"))
+    val kws = s.allText.getOrElse("keyword", Nil)
+    if (kws.nonEmpty) md("x-document-keywords") = kws.mkString(" ")
+    s.attrs.get("document-statistic").foreach { a =>
+      put(md, "x-document-pages", a.getOrElse("page-count", ""))
+      put(md, "x-document-words", a.getOrElse("word-count", ""))
+      put(md, "x-document-chars", a.getOrElse("character-count", ""))
+      put(md, "x-document-paragraphs", a.getOrElse("paragraph-count", ""))
+    }
+  }
+
+  /** office_parser.go:133-160. */
+  def mapMsOfficeCoreMetadata(md: mutable.Map[String, String], data: Array[Byte]): Unit = {
+    val s = new XmlScan(data)
+    put(md, "x-document-creator", s.get("creator"))
+    put(md, "x-document-author", s.get("publisher"))
+    put(md, "x-document-title", s.get("title"))
+    put(md, "x-document-subject", s.get("subject"))
+    put(md, "x-document-keywords", s.get("keywords"))
+    put(md, "x-document-created", s.get("created"))
+    put(md, "x-document-modified", s.get("modified"))
+  }
+
+  /** office_parser.go:162-181. */
+  def mapMsOfficeStats(md: mutable.Map[String, String], data: Array[Byte]): Unit = {
+    val s = new XmlScan(data)
+    put(md, "x-document-producer", s.get("Application"))
+    put(md, "x-document-pages", s.get("Pages"))
+    put(md, "x-document-words", s.get("Words"))
+    put(md, "x-document-chars", s.get("CharactersWithSpaces"))
+    put(md, "x-document-paragraphs", s.get("Paragraphs"))
+  }
+}
