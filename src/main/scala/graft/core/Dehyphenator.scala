@@ -57,11 +57,23 @@ object Dehyphenator {
     */
   @inline def isUpper(cp: Int): Boolean = Character.isUpperCase(cp)
 
-  def dehyphenate(text: String, removeNewlines: Boolean): String = {
-    if (text == null) return null
+  def dehyphenate(text: String, removeNewlines: Boolean): String =
+    dehyphenateChunk(text, removeNewlines, 0)._1
+
+  /** Stateful variant for page-chunked streams: the reference wraps the
+    * whole document stream (all pages, each followed by '\n') in ONE
+    * DehyphenWriter (extract.go:165-185, misc.go:71-74), so a pending
+    * stripped hyphen survives page boundaries. Page chunks always end in
+    * '\n', so lines never span chunks — only `pendingHyphen` does. Feeding
+    * chunks through this function and threading the returned state yields
+    * output identical to dehyphenating the concatenated stream.
+    */
+  def dehyphenateChunk(text: String, removeNewlines: Boolean,
+      pendingIn: Int): (String, Int) = {
+    if (text == null) return (null, pendingIn)
     val sep = if (removeNewlines) ' ' else '\n'
     val out = new java.lang.StringBuilder(text.length + 8)
-    var pendingHyphen = 0 // stripped hyphen code point awaiting next line; 0 = none
+    var pendingHyphen = pendingIn // stripped hyphen code point awaiting next line; 0 = none
     var lineStart = 0
     val n = text.length
     while (lineStart <= n) {
@@ -100,6 +112,35 @@ object Dehyphenator {
       }
       lineStart = nl + 1
     }
-    out.toString
+    (out.toString, pendingHyphen)
+  }
+
+  /** Boundary info for salted mega-document chunks: whether the text stream
+    * contains any content line (non-empty, non-hyphen-only after trim) and
+    * the first content code point. A pending hyphen entering a chunk is
+    * consumed at the chunk's first content line (restored iff it starts
+    * uppercase) and passes through chunks with no content lines — this lets
+    * the merge step replay the cross-chunk dehyphenator state exactly.
+    */
+  final case class ContentInfo(sawContent: Boolean, firstCp: Int)
+
+  def firstContentInfo(text: String): ContentInfo = {
+    var lineStart = 0
+    val n = text.length
+    while (lineStart <= n) {
+      var nl = text.indexOf('\n', lineStart)
+      if (nl < 0) nl = n
+      var a = lineStart
+      while (a < nl && isSpace(text.codePointAt(a))) a += Character.charCount(text.codePointAt(a))
+      var b = nl
+      while (b > a && isSpace(text.codePointBefore(b))) b -= Character.charCount(text.codePointBefore(b))
+      if (a < b) {
+        val first = text.codePointAt(a)
+        val hyphenOnly = isHyphen(first) && a + Character.charCount(first) == b
+        if (!hyphenOnly) return ContentInfo(sawContent = true, first)
+      }
+      lineStart = nl + 1
+    }
+    ContentInfo(sawContent = false, 0)
   }
 }

@@ -1,0 +1,210 @@
+package graft.core
+
+import java.util.Base64
+
+/** Per-document extraction kernel: input span sequence → ordered output
+  * span sequence + metadata + failure code. Pure Scala, zero Spark deps —
+  * the Spark stage wraps this in one mapPartitions (SURVEY §3.1 restatement).
+  *
+  * Input span kinds:
+  *   - `text`  — already-decoded text payload (dehyphenate + pass through)
+  *   - `media` — opaque media ref; `text` may carry a recorded OCR
+  *     transcript (used by the <200-char OCR-trigger rule, misc.go:32-77)
+  *   - a format tag (`rtf`, `docx`, `odt`, `pptx`, `odp`, `doc`, `ppt`,
+  *     `pdf`) — binary payload, base64 in `text`
+  *   - `bin`   — binary payload, format sniffed from magic bytes
+  *     (docfactory.go:180-206)
+  *
+  * Output spans: `text` spans (one per page/slide for paged formats, one
+  * per document otherwise; every page's text ends with '\n' per
+  * misc.go:71-74) interleaved with passed-through `media` spans, offsets
+  * renumbered 0..n-1.
+  *
+  * Failure codes mirror the reference error paths: `zero_size`/`too_large`
+  * (docfactory.go:28-29), `unknown_format` (docfactory.go:205),
+  * `content_not_found` (office_parser.go:29), `encrypted` (word.go:53-55,
+  * ppt.go:461-463), `parse_error`.
+  */
+object Extractor {
+
+  final case class Span(kind: String, text: String, mediaRef: String, offset: Int)
+
+  /** `pendingHyphenOut` / `sawContent` / `firstContentCp` expose the
+    * dehyphenator boundary state so salted mega-document chunks can be
+    * merged back into the exact unsalted output (see
+    * Dehyphenator.ContentInfo and pipeline.ExtractPipeline).
+    */
+  final case class Result(
+      spans: Vector[Span],
+      metadata: Map[String, String],
+      failure: String, // "" = ok
+      pendingHyphenOut: Int = 0,
+      sawContent: Boolean = false,
+      firstContentCp: Int = 0)
+
+  final case class Config(
+      removeNewlines: Boolean = true, // TES_REMOVE_NEWLINES default (config.go:60)
+      maxFileBytes: Long = 300L * 1024 * 1024, // config.go:34
+      ocrEnabled: Boolean = true,
+      ocrTriggerChars: Int = 200) // misc.go:38
+
+  val Default: Config = Config()
+
+  /** MIME sniff by magic bytes — the dispatch analog of
+    * docfactory.go:180-206 (mimetype lib there; same formats here).
+    */
+  def sniff(data: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < data.length) data(i) & 0xFF else -1
+    if (data.length >= 5 && data(0) == '%' && data(1) == 'P' && data(2) == 'D' &&
+      data(3) == 'F' && data(4) == '-') "pdf"
+    else if (data.length >= 5 && data(0) == '{' && data(1) == '\\' &&
+      data(2) == 'r' && data(3) == 't' && data(4) == 'f') "rtf"
+    else if (at(0) == 0xD0 && at(1) == 0xCF && at(2) == 0x11 && at(3) == 0xE0) "ole" // CFB: doc/ppt
+    else if (at(0) == 'P' && at(1) == 'K' && (at(2) == 3 || at(2) == 5 || at(2) == 7)) "zip" // docx/odt/pptx/odp
+    else ""
+  }
+
+  def extract(docId: String, spans: Seq[Span], cfg: Config = Default): Result = {
+    try extractUnsafe(docId, spans, cfg)
+    catch {
+      case _: OfficeXml.ContentNotFoundException =>
+        Result(Vector.empty, Map.empty, "content_not_found")
+      case _: ZipArchive.EntryTooBigException =>
+        Result(Vector.empty, Map.empty, "limit_exceeded")
+      case _: EncryptedException =>
+        Result(Vector.empty, Map.empty, "encrypted")
+      case _: Exception =>
+        Result(Vector.empty, Map.empty, "parse_error")
+    }
+  }
+
+  final class EncryptedException extends RuntimeException("encrypted document")
+
+  private def extractUnsafe(docId: String, spans: Seq[Span], cfg: Config): Result = {
+    if (spans.isEmpty) return Result(Vector.empty, Map.empty, "zero_size")
+
+    val out = Vector.newBuilder[Span]
+    var metadata = Map.empty[String, String]
+    var offset = 0
+    var pendingHyphen = 0 // dehyphenator state threaded across page spans
+    var failure = ""
+    var sawContent = false
+    var firstContentCp = 0
+
+    def noteContent(raw: String): Unit = if (!sawContent) {
+      val info = Dehyphenator.firstContentInfo(raw)
+      if (info.sawContent) { sawContent = true; firstContentCp = info.firstCp }
+    }
+
+    def emitText(t: String): Unit = {
+      out += Span("text", t, "", offset); offset += 1
+    }
+
+    /** Emit page texts through the stream-threaded dehyphenator; each page
+      * gets its '\n' separator before dehyphenation (misc.go:71-74), so the
+      * output matches the reference's single-writer stream exactly.
+      */
+    def emitPages(pages: Seq[String]): Unit = pages.foreach { p =>
+      noteContent(p + "\n")
+      val (t, pend) = Dehyphenator.dehyphenateChunk(p + "\n", cfg.removeNewlines, pendingHyphen)
+      pendingHyphen = pend
+      emitText(t)
+    }
+
+    /** Pageless formats: whole stream through the dehyphenator, one span. */
+    def emitWhole(text: String): Unit = {
+      noteContent(text)
+      val (t, pend) = Dehyphenator.dehyphenateChunk(text, cfg.removeNewlines, pendingHyphen)
+      pendingHyphen = pend
+      emitText(t)
+    }
+
+    // OCR rule (misc.go:38-40): pending media transcripts emitted before the
+    // page text when the page text is short.
+    var pendingOcr: List[String] = Nil
+
+    val arr = spans.sortBy(_.offset)
+    var i = 0
+    while (i < arr.length && failure.isEmpty) {
+      val s = arr(i)
+      s.kind match {
+        case "media" =>
+          out += Span("media", "", s.mediaRef, offset); offset += 1
+          if (cfg.ocrEnabled && s.text.nonEmpty) pendingOcr ::= s.text
+        case "text" =>
+          // raw text span: OCR trigger checks the page text length
+          if (pendingOcr.nonEmpty && s.text.length < cfg.ocrTriggerChars) {
+            pendingOcr.reverse.foreach(t => emitWhole(t))
+          }
+          pendingOcr = Nil
+          emitWhole(s.text)
+        case fmt =>
+          val payload = decodePayload(s.text)
+          if (payload.length == 0) failure = "zero_size"
+          else if (payload.length > cfg.maxFileBytes) failure = "too_large"
+          else {
+            val kind = fmt match {
+              case "bin" =>
+                sniff(payload) match {
+                  case "" => ""
+                  case "zip" => zipExt(payload)
+                  case "ole" => "doc" // refined by CFB streams later
+                  case k => k
+                }
+              case k => k
+            }
+            kind match {
+              case "docx" | "odt" | "pptx" | "odp" =>
+                val d = OfficeXml.parse(payload, kind)
+                metadata ++= d.metadata
+                if (d.pages > 0) emitPages(d.contentTexts)
+                else emitWhole(d.fullText)
+              case "rtf" =>
+                val meta = RtfMetadata.extract(payload)
+                metadata ++= meta.toMap
+                metadata ++= Map("x-parsed-by" -> "text-extraction-service", "x-doctype" -> "rtf")
+                emitWhole(RtfText.convert(payload))
+              case _ =>
+                failure = "unknown_format"
+            }
+          }
+      }
+      i += 1
+    }
+
+    if (failure.nonEmpty) Result(Vector.empty, Map.empty, failure)
+    else Result(out.result(), metadata, "", pendingHyphen, sawContent, firstContentCp)
+  }
+
+  private def decodePayload(text: String): Array[Byte] =
+    try Base64.getDecoder.decode(text)
+    catch { case _: IllegalArgumentException => text.getBytes("ISO-8859-1") }
+
+  /** Distinguish docx/odt/pptx/odp inside a sniffed zip by member names. */
+  private def zipExt(data: Array[Byte]): String = {
+    var hasWordDoc = false
+    var hasSlides = false
+    var mimetype = ""
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(data))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val n = e.getName
+        if (n == "word/document.xml") hasWordDoc = true
+        else if (n.startsWith("ppt/slides/")) hasSlides = true
+        else if (n == "mimetype") {
+          val buf = new Array[Byte](128)
+          val k = zin.read(buf)
+          if (k > 0) mimetype = new String(buf, 0, k, "US-ASCII").trim
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } catch { case _: Exception => } finally zin.close()
+    if (hasWordDoc) "docx"
+    else if (hasSlides) "pptx"
+    else if (mimetype.contains("opendocument.presentation")) "odp"
+    else if (mimetype.contains("opendocument.text")) "odt"
+    else "odt" // zip with content.xml defaults to ODF text
+  }
+}

@@ -37,6 +37,19 @@ object OfficeXml {
   private val Breaks = Set("p", "h", "br") // office_parser.go:33
   private val SlideRe = "ppt/slides/slide([0-9]+)\\.xml".r
 
+  /** XMLInputFactory.newInstance does a synchronized service-loader lookup —
+    * calling it per document serializes all executor threads. One factory
+    * per thread (factories are not guaranteed thread-safe).
+    */
+  private val factoryTL: ThreadLocal[XMLInputFactory] =
+    ThreadLocal.withInitial { () =>
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.FALSE)
+      f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.FALSE)
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      f
+    }
+
   def parse(data: Array[Byte], ext: String): OfficeDoc = {
     val wanted = (n: String) =>
       ContentFileNames.contains(n) ||
@@ -81,11 +94,7 @@ object OfficeXml {
   /** XmlToText (xmltotext.go:15-81). */
   def xmlToText(xml: Array[Byte], startWith: String): String = {
     val sb = new java.lang.StringBuilder
-    val factory = XMLInputFactory.newInstance()
-    factory.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.FALSE)
-    factory.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.FALSE)
-    factory.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-    val r = factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val r = factoryTL.get().createXMLStreamReader(new ByteArrayInputStream(xml))
     try {
       // skip until the body tag (xmltotext.go:21-34)
       var inBody = false
@@ -148,10 +157,7 @@ object OfficeXml {
     val allText = mutable.HashMap[String, mutable.ArrayBuffer[String]]()
     val attrs = mutable.HashMap[String, Map[String, String]]()
     try {
-      val factory = XMLInputFactory.newInstance()
-      factory.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.FALSE)
-      factory.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-      val r = factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+      val r = factoryTL.get().createXMLStreamReader(new ByteArrayInputStream(xml))
       val stack = mutable.Stack[(String, java.lang.StringBuilder)]()
       while (r.hasNext) {
         r.next() match {

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import graft.core.{Dehyphenator, Extractor}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The extraction stage (SURVEY §3.1 Spark restatement):
+  *
+  *   input Dataset[Doc]
+  *     → resume anti-join against the committed manifest   (S2/S6 analog)
+  *     → cost-aware salting: mega-docs split into contiguous span chunks  (S9 analog)
+  *     → repartition(hash(doc_id, salt))                    (one shuffle)
+  *     → mapPartitions(extract)                             (fused narrow stage)
+  *     → regroup salted chunks, replaying cross-chunk dehyphenator state
+  *     → ExtractedDoc + per-partition metrics
+  *
+  * The whole per-document kernel ([[graft.core.Extractor]]) runs inside a
+  * single typed transform — spans never explode into per-span rows, so the
+  * only wide operations are the anti-join, the salting shuffle, and the
+  * mega-doc regroup (which touches only the salted minority).
+  */
+object ExtractPipeline {
+
+  final case class PipelineConfig(
+      extractor: Extractor.Config = Extractor.Default,
+      numPartitions: Int = 32,
+      saltBuckets: Int = 8,
+      /** docs whose summed span bytes exceed this are split across tasks */
+      megaDocBytes: Long = 512 * 1024)
+
+  /** Salted unit of work: one doc, or one contiguous chunk of a mega-doc's
+    * spans.
+    */
+  final case class Chunk(doc_id: String, salt: Int, nChunks: Int, spans: Seq[Span])
+
+  final case class ChunkResult(
+      doc_id: String, salt: Int, nChunks: Int,
+      spans: Seq[Span], metadata: Map[String, String], failure: String,
+      bytes: Long, pendingOut: Int, sawContent: Boolean, firstCp: Int)
+
+  def docBytes(spans: Seq[Span]): Long =
+    spans.iterator.map(s => s.text.length.toLong + s.media_ref.length).sum
+
+  /** Split a mega-doc's spans into ≤ saltBuckets contiguous chunks of
+    * roughly equal byte cost. Only multi-span docs split (a single binary
+    * payload parses atomically); chunk boundaries fall between spans, and
+    * never while an OCR transcript is pending (a media span with a recorded
+    * transcript must stay in the same chunk as the text span that decides
+    * the <200-char trigger, misc.go:38-40), so each chunk is a valid
+    * sub-document and merge reproduces the unsalted output exactly.
+    */
+  def splitChunks(doc: Doc, cfg: PipelineConfig): Seq[Chunk] = {
+    val bytes = docBytes(doc.spans)
+    val sorted = doc.spans.sortBy(_.offset)
+    if (bytes <= cfg.megaDocBytes || sorted.length < 2)
+      return Seq(Chunk(doc.doc_id, 0, 1, sorted))
+    val n = math.min(cfg.saltBuckets, sorted.length)
+    val target = math.max(1L, bytes / n)
+    val chunks = Vector.newBuilder[Seq[Span]]
+    var cur = Vector.newBuilder[Span]
+    var curBytes = 0L
+    var emitted = 0
+    var ocrPending = false
+    sorted.foreach { s =>
+      cur += s
+      curBytes += s.text.length.toLong + s.media_ref.length
+      if (s.kind == "media") { if (s.text.nonEmpty) ocrPending = true }
+      else if (s.kind == "text") ocrPending = false
+      if (curBytes >= target && emitted < n - 1 && !ocrPending) {
+        chunks += cur.result(); cur = Vector.newBuilder[Span]
+        curBytes = 0L; emitted += 1
+      }
+    }
+    val last = cur.result()
+    if (last.nonEmpty) chunks += last
+    val all = chunks.result()
+    all.zipWithIndex.map { case (ss, i) => Chunk(doc.doc_id, i, all.length, ss) }
+  }
+
+  /** Merge extracted chunks of one doc back into the exact unsalted result:
+    * offsets renumbered, and the dehyphenator's cross-chunk pending-hyphen
+    * rule replayed (a hyphen stripped at the end of chunk i is restored at
+    * the start of chunk i+1's first content line iff it starts uppercase —
+    * dehyphen.go:144-150 across the chunk boundary).
+    */
+  def mergeChunks(docId: String, chunks: Seq[ChunkResult]): ExtractedDoc = {
+    val ordered = chunks.sortBy(_.salt)
+    val failure = ordered.iterator.map(_.failure).find(_.nonEmpty).getOrElse("")
+    val bytes = ordered.iterator.map(_.bytes).sum
+    if (failure.nonEmpty)
+      return ExtractedDoc(docId, Seq.empty, Map.empty, failure, bytes)
+    val out = Vector.newBuilder[Span]
+    var offset = 0
+    var pend = 0
+    ordered.foreach { c =>
+      var spans = c.spans
+      if (pend != 0 && c.sawContent && Dehyphenator.isUpper(c.firstCp)) {
+        // restore the pending hyphen at the head of this chunk's first text span
+        val idx = spans.indexWhere(_.kind == "text")
+        if (idx >= 0) {
+          val s = spans(idx)
+          spans = spans.updated(idx,
+            s.copy(text = new String(Character.toChars(pend)) + s.text))
+        }
+      }
+      if (c.sawContent) pend = c.pendingOut
+      spans.foreach { s => out += s.copy(offset = offset); offset += 1 }
+    }
+    val metadata = ordered.foldLeft(Map.empty[String, String])(_ ++ _.metadata)
+    ExtractedDoc(docId, out.result(), metadata, "", bytes)
+  }
+
+  /** Resume: drop docs already committed in the manifest (left-anti on
+    * doc_id — the cache-hit path, extract.go:124-153). The manifest side is
+    * a small projection; Catalyst broadcasts it when under the threshold.
+    */
+  def resume(input: Dataset[Doc], committedDocIds: Dataset[String]): Dataset[Doc] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val manifest = committedDocIds.toDF("doc_id")
+    input.join(manifest, Seq("doc_id"), "left_anti").as[Doc]
+  }
+
+  private def extractChunk(c: Chunk, cfg: PipelineConfig): ChunkResult = {
+    val r = Extractor.extract(c.doc_id,
+      c.spans.map(s => Extractor.Span(s.kind, s.text, s.media_ref, s.offset)),
+      cfg.extractor)
+    ChunkResult(c.doc_id, c.salt, c.nChunks,
+      r.spans.map(s => Span(s.kind, s.text, s.mediaRef, s.offset)),
+      r.metadata, r.failure, docBytes(c.spans),
+      r.pendingHyphenOut, r.sawContent, r.firstContentCp)
+  }
+
+  def extract(input: Dataset[Doc], cfg: PipelineConfig = PipelineConfig()): Dataset[ExtractedDoc] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+
+    // 1. salting split (narrow, cheap — no extraction yet). Branching on
+    //    nChunks happens HERE, before the expensive kernel, so each branch
+    //    extracts only its own rows (a post-extraction split would recompute
+    //    the whole kernel once per branch).
+    val chunks = input.flatMap(d => splitChunks(d, cfg))
+
+    // 2a. unsalted majority: ONE shuffle to even out row placement, then the
+    //     fused kernel stage; no regroup needed. NB: column predicates, not
+    //     typed filters — a typed filter would deserialize every span array
+    //     just to read one field.
+    val single = chunks.where(col("nChunks") === 1)
+      .repartition(cfg.numPartitions, col("doc_id"))
+      .as[Chunk]
+      .mapPartitions(it => it.map(c => mergeChunks(c.doc_id, Seq(extractChunk(c, cfg)))))
+
+    // 2b. salted minority: spread chunks by (doc_id, salt) so one mega-doc
+    //     fans across tasks, extract, then regroup + exact merge.
+    val salted = chunks.where(col("nChunks") > 1)
+      .repartition(cfg.numPartitions, col("doc_id"), col("salt"))
+      .as[Chunk]
+      .mapPartitions(it => it.map(c => extractChunk(c, cfg)))
+      .groupByKey(_.doc_id)
+      .mapGroups((id, it) => mergeChunks(id, it.toSeq))
+
+    single.union(salted)
+  }
+
+  /** Per-partition metrics (lineage rows): computed over the result with a
+    * plain aggregate — partial aggregation makes this one tiny shuffle.
+    */
+  def metrics(result: Dataset[ExtractedDoc], runId: String): Dataset[PartitionMetrics] = {
+    val spark = result.sparkSession
+    import spark.implicits._
+    result
+      .withColumn("partition_id", spark_partition_id())
+      .groupBy(col("partition_id"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("bytes")).as("bytes"),
+        sum(size(col("spans"))).as("spans"),
+        collect_list(when(col("failure") =!= "", col("failure"))).as("failure_list"))
+      .map { row =>
+        val fails = row.getAs[scala.collection.Seq[String]]("failure_list")
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }.toMap
+        PartitionMetrics(runId, row.getAs[Int]("partition_id"),
+          row.getAs[Long]("docs"), row.getAs[Long]("bytes"),
+          row.getAs[Long]("spans"), fails)
+      }
+  }
+}

@@ -1,6 +1,106 @@
 package graft.queries
+
+import graft.pipeline.{Doc, ExtractPipeline, Span, SynthCorpus}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The extraction pipeline itself, surfaced through the driver contract.
+  * The interleaved-span input table (BASELINE.json input_hint) is
+  * synthesized deterministically (seed 42) at a size scaled to the sf dir —
+  * the extraction kernels aren't SQL-expressible, so these register either
+  * rows-only checks or DuckDB oracles over the *relational envelope*
+  * (counts / failure codes / span statistics with deterministic values).
+  */
 object Extraction {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Corpus size per sf dir: correctness gate (sf0.01) runs 2000 docs. */
+  def corpusSize(dir: String): Long =
+    if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 2000L else 200L
+
+  /** Salting threshold scaled down to the demo corpus (mega-docs here are
+    * ~50-100 KB; production default is 512 KB+).
+    */
+  val DemoCfg: ExtractPipeline.PipelineConfig =
+    ExtractPipeline.PipelineConfig(megaDocBytes = 16 * 1024)
+
+  private def extracted(spark: SparkSession, dir: String) = {
+    val corpus = SynthCorpus.generate(spark, corpusSize(dir), seed = 42L)
+    ExtractPipeline.extract(corpus, DemoCfg)
+  }
+
+  /** Flagship: full extraction, one summary row per doc, deterministic
+    * values (span counts, char counts, failure codes). Rows-only check from
+    * the driver; span-level equality runs under `sbt -batch test`.
+    */
+  def extractPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extracted(spark, dir)
+      .map(d => (d.doc_id, d.spans.size,
+        d.spans.iterator.map(_.text.length.toLong).sum,
+        d.spans.count(_.kind == "media"), d.failure))
+      .toDF("doc_id", "n_spans", "n_chars", "n_media", "failure")
+      .orderBy(substring(col("doc_id"), 4, 12).cast("long"))
+  }
+
+  /** Failure-code distribution over the synthetic corpus — deterministic
+    * (doc_id mod 20 == 18 rows are the failure class; the sub-kind cycles
+    * by seeded rng). Rows-only check (values asserted in ScalaTest).
+    */
+  def extractFailureCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extracted(spark, dir)
+      .map(d => (if (d.failure.isEmpty) "ok" else d.failure, 1L))
+      .toDF("code", "one")
+      .groupBy(col("code")).agg(sum(col("one")).as("docs"))
+      .orderBy(col("code"))
+  }
+
+  /** Media passthrough invariant, SQL-checkable: every media span of every
+    * non-failed doc survives extraction with its media_ref intact, in
+    * order. Output: (doc_id, media_refs concatenated) — compared against
+    * the same derivation computed directly from the deterministic
+    * generator via a second Spark path (input side), NOT DuckDB (the
+    * corpus never materializes as parquet). Registered rows-only.
+    */
+  def extractMediaPassthrough(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = SynthCorpus.generate(spark, corpusSize(dir), seed = 42L)
+    val inputRefs = corpus
+      .map(d => (d.doc_id, d.spans.sortBy(_.offset).filter(_.kind == "media").map(_.media_ref).mkString("|")))
+      .toDF("doc_id", "in_refs")
+    val outRefs = extracted(spark, dir)
+      .filter(_.failure == "")
+      .map(d => (d.doc_id, d.spans.sortBy(_.offset).filter(_.kind == "media").map(_.media_ref).mkString("|")))
+      .toDF("doc_id", "out_refs")
+    inputRefs.join(outRefs, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("in_refs") === col("out_refs")).as("refs_preserved"))
+      .groupBy(col("refs_preserved")).agg(count(lit(1)).as("docs"))
+      .orderBy(col("refs_preserved"))
+  }
+
+  /** Salting distribution over the real pipeline: how mega-docs spread into
+    * chunks. Deterministic; rows-only.
+    */
+  def extractSaltSpread(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = SynthCorpus.generate(spark, corpusSize(dir), seed = 42L)
+    corpus.flatMap(d => ExtractPipeline.splitChunks(d, DemoCfg))
+      .map(c => (c.nChunks > 1, c.salt))
+      .toDF("is_mega", "salt")
+      .groupBy(col("is_mega"), col("salt"))
+      .agg(count(lit(1)).as("chunks"))
+      .orderBy(col("is_mega"), col("salt"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "extract_pipeline" -> (extractPipeline _),
+    "extract_failure_codes" -> (extractFailureCodes _),
+    "extract_media_passthrough" -> (extractMediaPassthrough _),
+    "extract_salt_spread" -> (extractSaltSpread _)
+  )
+
+  // Non-SQL-expressible: the driver records rows-only checks; span-level
+  // correctness is enforced by ScalaTest golden/property suites.
   val oracle: Map[String, String] = Map()
 }
