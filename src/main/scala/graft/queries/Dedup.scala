@@ -1,6 +1,184 @@
 package graft.queries
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents`: exact, MinHash+LSH bands, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup (in [[Similarity]]'s quantized
+  * integer arithmetic).
+  *
+  * Scale shapes:
+  *   - signatures/fingerprints are per-row HOF folds (narrow, no explode);
+  *   - candidate generation is an equi-join on band/shingle (shuffle on the
+  *     bucket key — the LSH scale path), never an O(n²) cross join;
+  *   - Jaccard verification uses exact integer counts (4·|∩| ≥ |∪| for
+  *     threshold 0.25), so results are engine-independent.
+  */
 object Dedup {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+
+  private val WordsExpr = "filter(split(text, ' '), w -> w <> '')"
+
+  /** 3-word shingle strings → 60-bit md5 hashes → mod 2^31-1. */
+  private val ShinglesExpr =
+    s"""transform(
+          sequence(1, greatest(size($WordsExpr) - 2, 0)),
+          i -> array_join(slice($WordsExpr, i, 3), ' '))"""
+  private val ShingleH31 =
+    s"""transform($ShinglesExpr,
+          s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647L)"""
+
+  /** Exact dedup: group by content hash (the canonical 100 TB shape — one
+    * shuffle on md5(text), partial agg upstream).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("representative"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** MinHash signatures: 8 permutations (a·h + b mod 2^31-1) folded per row
+    * with HOFs, plus 2 LSH band keys (md5 of 4 sig values).
+    */
+  def dedupMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("sh", expr(ShingleH31))
+    val withSigs = (0 until 8).foldLeft(docs) { (df, i) =>
+      val a = 387421L * (i + 1)
+      val b = 98765L * (i + 1) + 12345L
+      df.withColumn(s"sig$i",
+        expr(s"aggregate(sh, 2147483647L, (m, x) -> least(m, ($a * x + $b) % 2147483647L))"))
+    }
+    withSigs
+      .withColumn("band0", md5(concat_ws("-", col("sig0"), col("sig1"), col("sig2"), col("sig3"))))
+      .withColumn("band1", md5(concat_ws("-", col("sig4"), col("sig5"), col("sig6"), col("sig7"))))
+      .select(col("doc_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3"),
+        col("sig4"), col("sig5"), col("sig6"), col("sig7"), col("band0"), col("band1"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing any band bucket. The join is
+    * on the band value — the scalable inverted-index shape.
+    */
+  def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = dedupMinhashSig(spark, dir)
+    val bands = sigs.select(col("doc_id"), col("band0").as("band"))
+      .union(sigs.select(col("doc_id"), col("band1").as("band")))
+    val a = bands.toDF("doc_a", "band")
+    val b = bands.toDF("doc_b", "band")
+    a.join(b, "band")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash (32-bit): per-bit majority vote over word hashes. Spark side
+    * is a per-row HOF fold over 32 bit positions — no explode.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("hs",
+        expr(s"transform($WordsExpr, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
+      .select(col("doc_id"),
+        expr("""aggregate(
+                  sequence(0, 31),
+                  0L,
+                  (acc, b) -> acc + if(
+                    aggregate(hs, 0L, (s, h) -> s + (cast(shiftright(h, b) as bigint) % 2L) * 2L - 1L) > 0,
+                    shiftleft(1L, b), 0L))""").as("simhash"),
+        expr("size(hs)").as("n_words"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram Jaccard near-dup pairs (threshold 0.25, exact): inverted index
+    * on distinct shingles → pair intersection counts → integer-compare
+    * 4·|∩| ≥ |∪|. No floats anywhere; the shingle join prunes to pairs with
+    * ≥1 common shingle, which is exactly the support of the predicate.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("sset", expr(s"array_distinct($ShinglesExpr)"))
+      .select(col("doc_id"), col("sset"), expr("size(sset)").as("nsh"))
+    val inv = docs.select(col("doc_id"), col("nsh"), explode(col("sset")).as("sh"))
+    val a = inv.toDF("doc_a", "na", "sh")
+    val b = inv.toDF("doc_b", "nb", "sh")
+    a.join(b, "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("unions", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * 4 >= col("unions"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("unions"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_sig" -> (dedupMinhashSig _),
+    "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _)
+  )
+
+  private val WordsSql = "list_filter(string_split(text, ' '), w -> w <> '')"
+  private val ShinglesSql =
+    s"[array_to_string(w[i:i+2], ' ') for i in generate_series(1, greatest(len(w) - 2, 0))]"
+  private val Sh31Sql =
+    s"list_transform($ShinglesSql, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)"
+
+  private def sigSql: String = {
+    val sigCols = (0 until 8).map { i =>
+      val a = 387421L * (i + 1)
+      val b = 98765L * (i + 1) + 12345L
+      s"CAST(list_reduce(list_prepend(2147483647, sh), (m, x) -> least(m, ($a * x + $b) % 2147483647)) AS BIGINT) AS sig$i"
+    }.mkString(", ")
+    s"""WITH w0 AS (SELECT doc_id, $WordsSql AS w FROM documents),
+        s0 AS (SELECT doc_id, $Sh31Sql AS sh FROM w0),
+        sigs AS (SELECT doc_id, $sigCols FROM s0)
+        SELECT doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7,
+          md5(concat_ws('-', sig0, sig1, sig2, sig3)) AS band0,
+          md5(concat_ws('-', sig4, sig5, sig6, sig7)) AS band1
+        FROM sigs"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS representative,
+         COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "dedup_minhash_sig" -> (sigSql + " ORDER BY doc_id"),
+    "dedup_minhash_pairs" ->
+      s"""WITH sigs AS ($sigSql),
+          bands AS (
+            SELECT doc_id, band0 AS band FROM sigs
+            UNION ALL SELECT doc_id, band1 FROM sigs)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+          ORDER BY doc_a, doc_b""",
+    "dedup_simhash" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_transform($WordsSql, w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+            FROM documents),
+          bits AS (
+            SELECT doc_id, b.b AS bit,
+              CASE WHEN list_sum(list_transform(hs, h -> ((h >> b.b) & 1) * 2 - 1)) > 0
+                   THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bitval
+            FROM t, (SELECT unnest(generate_series(0, 31)) AS b) b)
+          SELECT t.doc_id, CAST(s.simhash AS BIGINT) AS simhash, len(t.hs) AS n_words
+          FROM t JOIN (SELECT doc_id, sum(bitval) AS simhash FROM bits GROUP BY doc_id) s
+            ON t.doc_id = s.doc_id
+          ORDER BY t.doc_id""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH w0 AS (SELECT doc_id, $WordsSql AS w FROM documents),
+          s0 AS (SELECT doc_id, list_distinct($ShinglesSql) AS sset FROM w0),
+          inv AS (SELECT doc_id, len(sset) AS nsh, unnest(sset) AS sh FROM s0),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
+              COUNT(*) AS inter
+            FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+          SELECT doc_a, doc_b, inter, (na + nb - inter) AS unions
+          FROM p WHERE inter * 4 >= (na + nb - inter)
+          ORDER BY doc_a, doc_b"""
+  )
 }

@@ -1,6 +1,147 @@
 package graft.queries
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline, over the
+  * `documents` table. Everything is computed with higher-order functions on
+  * the words array — per-row, codegen'd, no explode, no UDFs — so the plan
+  * is a single narrow projection over the parquet scan at any scale.
+  *
+  * Determinism discipline: all ratios are exact integers (x10000 fixed
+  * point via integer div); hashes derive from md5 (identical in Spark and
+  * DuckDB); folds use explicit zero values (DuckDB list_reduce gets the
+  * zero via list_prepend).
+  */
 object TextAnalysis {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+
+  /** words = whitespace split minus empties — identical in both engines. */
+  private val WordsExpr = "filter(split(text, ' '), w -> w <> '')"
+
+  /** 60-bit word hash from md5 (portable to DuckDB). */
+  private def whSpark(w: String) =
+    s"cast(conv(substring(md5($w), 1, 15), 16, 10) as bigint)"
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens (letter runs,
+    * digit runs, single punctuation) + char count.
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"size($WordsExpr)").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))").as("re_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: punctuation / stopword / unique-word ratios and mean
+    * word length in exact x10000 fixed point, combined into a score.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stops = "'the','and','of','to','a','in','is','der','die','das','und','el','la','de'"
+    Tables(spark, dir, "documents")
+      .withColumn("words", expr(WordsExpr))
+      .withColumn("n_words", expr("size(words)"))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        col("n_words"),
+        expr("aggregate(words, 0L, (a, w) -> a + length(w)) * 10000L div greatest(n_words, 1)").as("mean_wlen_x10k"),
+        expr("length(regexp_replace(text, '[A-Za-z0-9 ]', '')) * 10000L div greatest(length(text), 1)").as("punct_x10k"),
+        expr(s"size(filter(words, w -> w in ($stops))) * 10000L div greatest(n_words, 1)").as("stop_x10k"),
+        expr("size(array_distinct(words)) * 10000L div greatest(n_words, 1)").as("uniq_x10k"))
+      .withColumn("quality_x10k",
+        expr("(stop_x10k * 3 + uniq_x10k * 2 + (10000 - punct_x10k) * 5) div 10"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID by stopword-set hits (n-gram-free heuristic; deterministic
+    * priority tiebreak en > de > es > fr).
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val en = "'the','and','of','to','a','in','is','for','on','with'"
+    val de = "'der','die','das','und','ist','von','mit','für','auf','ein'"
+    val es = "'el','la','de','que','y','en','los','se','del','un'"
+    val fr = "'le','la','les','et','des','un','une','du','dans','est'"
+    Tables(spark, dir, "documents")
+      .withColumn("words", expr(WordsExpr))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        expr(s"size(filter(words, w -> w in ($en)))").as("s_en"),
+        expr(s"size(filter(words, w -> w in ($de)))").as("s_de"),
+        expr(s"size(filter(words, w -> w in ($es)))").as("s_es"),
+        expr(s"size(filter(words, w -> w in ($fr)))").as("s_fr"))
+      .withColumn("predicted_lang",
+        expr("""case when s_en >= greatest(s_de, s_es, s_fr) then 'en'
+                     when s_de >= greatest(s_es, s_fr) then 'de'
+                     when s_es >= s_fr then 'es'
+                     else 'fr' end"""))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: order-sensitive polynomial rolling hash over
+    * word hashes, mod a sub-2^53 prime (no 64-bit overflow in either
+    * engine: acc*131 + h < 2^62).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("hs", expr(s"transform($WordsExpr, w -> ${whSpark("w")})"))
+      .select(col("doc_id"),
+        expr("aggregate(hs, 0L, (acc, x) -> (acc * 131 + x) % 9007199254740881L)").as("fingerprint"),
+        expr("size(hs)").as("n_words"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _)
+  )
+
+  private val WordsSql = "list_filter(string_split(text, ' '), w -> w <> '')"
+  private val WhSql = "CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, len($WordsSql) AS ws_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens,
+          length(text) AS n_chars
+          FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      s"""WITH t AS (
+            SELECT doc_id, text, $WordsSql AS words FROM documents),
+          m AS (
+            SELECT doc_id, length(text) AS n_chars, len(words) AS n_words,
+              list_sum(list_transform(words, w -> length(w))) * 10000 // greatest(len(words), 1) AS mean_wlen_x10k,
+              length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 10000 // greatest(length(text), 1) AS punct_x10k,
+              len(list_filter(words, w -> w in ('the','and','of','to','a','in','is','der','die','das','und','el','la','de'))) * 10000 // greatest(len(words), 1) AS stop_x10k,
+              len(list_distinct(words)) * 10000 // greatest(len(words), 1) AS uniq_x10k
+            FROM t)
+          SELECT doc_id, n_chars, n_words,
+            CAST(mean_wlen_x10k AS BIGINT) AS mean_wlen_x10k,
+            CAST(punct_x10k AS BIGINT) AS punct_x10k,
+            CAST(stop_x10k AS BIGINT) AS stop_x10k,
+            CAST(uniq_x10k AS BIGINT) AS uniq_x10k,
+            CAST((stop_x10k * 3 + uniq_x10k * 2 + (10000 - punct_x10k) * 5) // 10 AS BIGINT) AS quality_x10k
+          FROM m ORDER BY doc_id""",
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $WordsSql AS words FROM documents),
+          s AS (SELECT doc_id, lang AS labeled_lang,
+              len(list_filter(words, w -> w in ('the','and','of','to','a','in','is','for','on','with'))) AS s_en,
+              len(list_filter(words, w -> w in ('der','die','das','und','ist','von','mit','für','auf','ein'))) AS s_de,
+              len(list_filter(words, w -> w in ('el','la','de','que','y','en','los','se','del','un'))) AS s_es,
+              len(list_filter(words, w -> w in ('le','la','les','et','des','un','une','du','dans','est'))) AS s_fr
+            FROM t)
+          SELECT doc_id, labeled_lang, s_en, s_de, s_es, s_fr,
+            CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                 WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr' END AS predicted_lang
+          FROM s ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_transform($WordsSql, w -> $WhSql) AS hs
+            FROM documents)
+          SELECT doc_id,
+            CAST(list_reduce(list_prepend(0, hs), (acc, x) -> (acc * 131 + x) % 9007199254740881) AS BIGINT) AS fingerprint,
+            len(hs) AS n_words
+          FROM t ORDER BY doc_id"""
+  )
 }
