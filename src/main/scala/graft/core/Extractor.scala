@@ -164,6 +164,17 @@ object Extractor {
                 metadata ++= meta.toMap
                 metadata ++= Map("x-parsed-by" -> "text-extraction-service", "x-doctype" -> "rtf")
                 emitWhole(RtfText.convert(payload))
+              case "doc" | "ppt" | "ole" =>
+                val ds = DocBin.openStreams(payload)
+                metadata ++= OleProps.parse(ds.siRaw, ds.dsiRaw).toMap
+                if (ds.wordDocument.isDefined)
+                  emitWhole(DocBin.wordText(ds.wordDocument.get, ds.table.get))
+                else {
+                  // ppt slides: one span per slide (StreamText concatenation
+                  // order, docparser.go:124-128; slide text already ends with
+                  // '\n' per text run so no extra separator)
+                  DocBin.pptSlides(ds.pptDoc.get, ds.currentUser.get).foreach(emitWhole)
+                }
               case _ =>
                 failure = "unknown_format"
             }
