@@ -164,6 +164,27 @@ object Extractor {
                 metadata ++= meta.toMap
                 metadata ++= Map("x-parsed-by" -> "text-extraction-service", "x-doctype" -> "rtf")
                 emitWhole(RtfText.convert(payload))
+              case "pdf" =>
+                val pf = new graft.core.pdf.PdfFile(payload)
+                metadata ++= graft.core.pdf.PdfExtract.metadata(pf)
+                var page = 0
+                val n = pf.pageCount
+                while (page < n) {
+                  val txtOpt = graft.core.pdf.PdfExtract.pageText(pf, page)
+                  val txt = txtOpt.getOrElse("")
+                  val hasImages = graft.core.pdf.PdfExtract.pageHasImages(pf, page)
+                  // OCR decision rule (misc.go:38-40): short page with images →
+                  // surface the page's image as a media span before the text
+                  // (tesseract is out of scope at corpus scale; media_ref is opaque)
+                  if (txt.length < cfg.ocrTriggerChars && hasImages && cfg.ocrEnabled) {
+                    out += Span("media", "", s"pdf:$docId/page$page/images", offset)
+                    offset += 1
+                  }
+                  // page text + '\n' separator (native_pdf.go:112-113); pages with
+                  // no content contribute nothing (StreamText skips them)
+                  if (txtOpt.isDefined) emitPages(Seq(txt))
+                  page += 1
+                }
               case "doc" | "ppt" | "ole" =>
                 val ds = DocBin.openStreams(payload)
                 metadata ++= OleProps.parse(ds.siRaw, ds.dsiRaw).toMap

@@ -13,7 +13,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * Row classes by doc_id mod 20:
   *   0-5   plain interleaved text docs (German hyphenation material)
   *   6-7   text docs with media spans (+ recorded OCR transcript on some)
-  *   8-10  RTF payloads
+  *   8-9   RTF payloads  10: PDF payloads (multi-page, some with image page)
   *   11-12 DOCX payloads  13: ODT  14-15: PPTX (multi-slide)  16: ODP
   *   17    mega-doc (many text spans — salting target)
   *   18    failure docs (zero-size / unknown format / empty zip)
@@ -156,7 +156,16 @@ object SynthCorpus {
           off += 1
         }
         out.result()
-      case 8 | 9 | 10 => Seq(Span("rtf", b64(rtfPayload(r)), "", 0))
+      case 8 | 9 => Seq(Span("rtf", b64(rtfPayload(r)), "", 0))
+      case 10 =>
+        val nPages = 1 + r.nextInt(3)
+        val pdfPages = (0 until nPages).map { p =>
+          (0 until 2 + r.nextInt(4)).map(i =>
+            graft.core.pdf.PdfBuilder.Line(sentence(r, 5), 50, 700 - i * 20))
+        }
+        val pdf = graft.core.pdf.PdfBuilder.build(pdfPages,
+          title = s"pdf $docId", withImagePage = r.nextInt(3) == 0)
+        Seq(Span("pdf", b64(pdf), "", 0))
       case 11 | 12 => Seq(Span("bin", b64(docxPayload(r)), "", 0))
       case 13 => Seq(Span("bin", b64(odtPayload(r)), "", 0))
       case 14 | 15 => Seq(Span("pptx", b64(pptxPayload(r)), "", 0))
