@@ -61,7 +61,12 @@ object Extractor {
       data(2) == 'r' && data(3) == 't' && data(4) == 'f') "rtf"
     else if (at(0) == 0xD0 && at(1) == 0xCF && at(2) == 0x11 && at(3) == 0xE0) "ole" // CFB: doc/ppt
     else if (at(0) == 'P' && at(1) == 'K' && (at(2) == 3 || at(2) == 5 || at(2) == 7)) "zip" // docx/odt/pptx/odp
-    else ""
+    else {
+      val head = new String(data, 0, math.min(256, data.length), "ISO-8859-1")
+        .toLowerCase.dropWhile(_.isWhitespace)
+      if (head.startsWith("<!doctype html") || head.startsWith("<html")) "html"
+      else ""
+    }
   }
 
   def extract(docId: String, spans: Seq[Span], cfg: Config = Default): Result = {
@@ -159,6 +164,11 @@ object Extractor {
                 metadata ++= d.metadata
                 if (d.pages > 0) emitPages(d.contentTexts)
                 else emitWhole(d.fullText)
+              case "html" =>
+                // north-star additive path: boilerplate-stripped main content
+                metadata ++= Map("x-parsed-by" -> "text-extraction-service", "x-doctype" -> "html")
+                emitWhole(Boilerplate.extractContent(
+                  new String(payload, java.nio.charset.StandardCharsets.UTF_8)))
               case "rtf" =>
                 val meta = RtfMetadata.extract(payload)
                 metadata ++= meta.toMap

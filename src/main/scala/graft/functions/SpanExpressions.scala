@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.core.Dehyphenator
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the extraction functions that are useful
+  * directly in DataFrame/SQL land (SURVEY §4: "UDF-free where possible" —
+  * a native Expression with doGenCode beats a Scala UDF: no closure
+  * serialization, participates in whole-stage codegen via a static call).
+  */
+object SpanExpressions {
+
+  /** Static entry points referenced from generated code. */
+  def dehyphenateUTF8(s: UTF8String, removeNewlines: Boolean): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(Dehyphenator.dehyphenate(s.toString, removeNewlines))
+
+  def stripBoilerplateUTF8(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(graft.core.Boilerplate.extractContent(s.toString))
+
+  /** dehyphenate(text, removeNewlines) — the T1/T2 kernel as a SQL scalar. */
+  case class Dehyphenate(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = left.nullable
+
+    override def nullSafeEval(text: Any, rm: Any): Any =
+      dehyphenateUTF8(text.asInstanceOf[UTF8String], rm.asInstanceOf[Boolean])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, r) =>
+        s"${ev.value} = graft.functions.SpanExpressions.dehyphenateUTF8($t, $r);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Dehyphenate =
+      copy(left = l, right = r)
+  }
+
+  /** strip_boilerplate(html) — the north-star block classifier as a scalar. */
+  case class StripBoilerplate(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(html: Any): Any =
+      stripBoilerplateUTF8(html.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h =>
+        s"graft.functions.SpanExpressions.stripBoilerplateUTF8($h)")
+
+    override protected def withNewChildInternal(c: Expression): StripBoilerplate =
+      copy(child = c)
+  }
+
+  // Column-API surface (Spark 4: Column ↔ Expression via the sql-package bridge)
+  import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+  def dehyphenate(text: Column, removeNewlines: Column): Column =
+    toColumn(Dehyphenate(toExpr(text), toExpr(removeNewlines)))
+
+  def strip_boilerplate(html: Column): Column =
+    toColumn(StripBoilerplate(toExpr(html)))
+
+  /** Register as SQL functions on a session (SparkSessionExtensions-free
+    * path; usable from spark.sql too).
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dehyphenate", exprs => Dehyphenate(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_boilerplate", exprs => StripBoilerplate(exprs.head), "built-in")
+  }
+}

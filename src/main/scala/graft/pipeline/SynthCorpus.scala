@@ -136,9 +136,18 @@ object SynthCorpus {
     val docId = s"doc$id"
     val cls = (id % 20).toInt
     val spans: Seq[Span] = cls match {
-      case c if c <= 5 =>
+      case c if c <= 4 =>
         val n = 1 + r.nextInt(4)
         (0 until n).map(i => Span("text", paragraph(r, 2 + r.nextInt(4)), "", i))
+      case 5 =>
+        // HTML doc with boilerplate (nav/footer link lists) around content
+        val paras = (0 until 2 + r.nextInt(3))
+          .map(_ => s"<p>${sentence(r, 12)}</p>").mkString("\n")
+        val html =
+          s"""<html><body><nav><a href="/">Home</a> <a href="/a">About</a></nav>
+             |<article>$paras</article>
+             |<footer><a href="/i">Imprint</a> legal</footer></body></html>""".stripMargin
+        Seq(Span("html", b64(html.getBytes("UTF-8")), "", 0))
       case 6 | 7 =>
         // interleaved text+media; some media carry recorded OCR transcripts
         val out = Seq.newBuilder[Span]

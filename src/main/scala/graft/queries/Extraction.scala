@@ -93,11 +93,30 @@ object Extraction {
       .orderBy(col("is_mega"), col("salt"))
   }
 
+  /** Multimodal stub pipeline surfaced through the contract (rows-only:
+    * the decode is a deterministic stub, not SQL-expressible).
+    */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
+    graft.pipeline.Multimodal.decodeImages(media)
+      .toDF().orderBy(col("media_ref"))
+  }
+
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
+    graft.pipeline.Multimodal.sampleFrames(media, everyMs = 10000)
+      .groupBy(col("media_ref")).agg(count(lit(1)).as("n_frames"))
+      .orderBy(col("media_ref"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "extract_pipeline" -> (extractPipeline _),
     "extract_failure_codes" -> (extractFailureCodes _),
     "extract_media_passthrough" -> (extractMediaPassthrough _),
-    "extract_salt_spread" -> (extractSaltSpread _)
+    "extract_salt_spread" -> (extractSaltSpread _),
+    "media_decode_stub" -> (mediaDecode _),
+    "media_frame_sample" -> (mediaFrames _)
   )
 
   // Non-SQL-expressible: the driver records rows-only checks; span-level
