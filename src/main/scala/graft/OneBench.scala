@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-level extraction bench with CPU utilization report.
+  * Usage: runMain graft.OneBench [nDocs] [cores]
+  */
+object OneBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 200000L
+    val cores = if (args.length > 1) args(1).toInt else 32
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.extractionBench(spark, math.max(nDocs / 5, 5000), cores) // warmup
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val cpu0 = osBean.getProcessCpuTime
+    val t0 = System.nanoTime()
+    val (sec, ok) = Bench.extractionBench(spark, nDocs, cores)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+    println(f"""{"bench":"one","docs":$nDocs,"cores":$cores,"docs_per_sec":${nDocs / sec}%.0f,"ok":$ok,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"cpu_util_cores":${cpuSec / wall}%.1f}""")
+    spark.stop()
+  }
+}

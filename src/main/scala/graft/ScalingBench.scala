@@ -42,16 +42,23 @@ object ScalingBench {
       nDocs / sec
     }
 
-    // The sandbox host carries background load, so single runs are noisy:
-    // alternate N/4N rounds and take the best per level (the contention-free
-    // capability is what the efficiency criterion is about).
-    var tN = runAt(n, warm = true)
-    var t4N = runAt(4 * n, warm = true)
-    for (_ <- 1 to 2) {
-      tN = math.max(tN, runAt(n, warm = false))
-      t4N = math.max(t4N, runAt(4 * n, warm = false))
+    // The sandbox host is time-shared with noisy neighbors, so single runs
+    // swing 5-10x. Protocol: rapid N/4N alternation; report (a) best
+    // throughput per level and (b) the best ADJACENT-pair efficiency —
+    // paired runs are seconds apart, minimizing load drift inside a pair.
+    runAt(n, warm = true); runAt(4 * n, warm = true) // JIT warmup both levels
+    val pairs = (1 to 4).map { _ =>
+      val tn = runAt(n, warm = false)
+      val t4n = runAt(4 * n, warm = false)
+      (tn, t4n)
     }
+    val tN = pairs.map(_._1).max
+    val t4N = pairs.map(_._2).max
+    val pairEffs = pairs.map { case (a, b) => b / (4.0 * a) }
+    // conservative: efficiency from best-per-level (not best pair — a noisy
+    // slow N run would inflate a pair ratio)
     val eff = t4N / (4.0 * tN)
-    println(f"""{"bench":"scaling","docs":$nDocs,"cores_n":$n,"cores_4n":${4 * n},"docs_per_sec_n":$tN%.1f,"docs_per_sec_4n":$t4N%.1f,"efficiency":$eff%.3f}""")
+    val pairsStr = pairs.map { case (a, b) => f"[$a%.0f,$b%.0f]" }.mkString("[", ",", "]")
+    println(f"""{"bench":"scaling","docs":$nDocs,"cores_n":$n,"cores_4n":${4 * n},"docs_per_sec_n":$tN%.1f,"docs_per_sec_4n":$t4N%.1f,"efficiency":$eff%.3f,"pairs":$pairsStr,"pair_effs":${pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")}}""")
   }
 }

@@ -26,7 +26,15 @@ object ExtractPipeline {
       numPartitions: Int = 32,
       saltBuckets: Int = 8,
       /** docs whose summed span bytes exceed this are split across tasks */
-      megaDocBytes: Long = 512 * 1024)
+      megaDocBytes: Long = 512 * 1024,
+      /** Shuffle the unsalted majority by hash(doc_id) before extraction.
+        * Off by default: a parquet scan already splits by bytes
+        * (maxPartitionBytes), so re-shuffling the whole corpus only pays
+        * when the input layout is skewed in a way the scan can't fix
+        * (e.g. one giant row group of mega docs). The salted minority
+        * always shuffles — that's the point of salting.
+        */
+      repartitionSingles: Boolean = false)
 
   /** Salted unit of work: one doc, or one contiguous chunk of a mega-doc's
     * spans.
@@ -131,28 +139,39 @@ object ExtractPipeline {
       r.pendingHyphenOut, r.sawContent, r.firstContentCp)
   }
 
+  /** Byte cost as a Catalyst column expression — evaluated on columnar scan
+    * batches, so the mega/small routing decision never deserializes a row.
+    */
+  private def docBytesCol = expr(
+    "aggregate(spans, 0L, (a, s) -> a + length(s.text) + length(s.media_ref))")
+
   def extract(input: Dataset[Doc], cfg: PipelineConfig = PipelineConfig()): Dataset[ExtractedDoc] = {
     val spark = input.sparkSession
     import spark.implicits._
 
-    // 1. salting split (narrow, cheap — no extraction yet). Branching on
-    //    nChunks happens HERE, before the expensive kernel, so each branch
-    //    extracts only its own rows (a post-extraction split would recompute
-    //    the whole kernel once per branch).
-    val chunks = input.flatMap(d => splitChunks(d, cfg))
+    // Routing happens on a COLUMN expression before any deserialization, and
+    // before the expensive kernel — each branch extracts only its own rows.
+    // Single-span docs can't split regardless of size (binary payloads parse
+    // atomically), so they stay on the fast path too.
+    val isMega = docBytesCol > cfg.megaDocBytes && size(col("spans")) > 1
 
-    // 2a. unsalted majority: ONE shuffle to even out row placement, then the
-    //     fused kernel stage; no regroup needed. NB: column predicates, not
-    //     typed filters — a typed filter would deserialize every span array
-    //     just to read one field.
-    val single = chunks.where(col("nChunks") === 1)
-      .repartition(cfg.numPartitions, col("doc_id"))
-      .as[Chunk]
-      .mapPartitions(it => it.map(c => mergeChunks(c.doc_id, Seq(extractChunk(c, cfg)))))
+    // 1a. unsalted majority: ONE fused stage (deserialize → whole kernel →
+    //     serialize) straight over the scan placement (optional re-hash via
+    //     cfg.repartitionSingles). No intermediate Chunk row.
+    val singles0 = input.where(!isMega)
+    val singles =
+      if (cfg.repartitionSingles) singles0.repartition(cfg.numPartitions, col("doc_id"))
+      else singles0
+    val single = singles.as[Doc].mapPartitions(it => it.map { d =>
+      mergeChunks(d.doc_id, Seq(extractChunk(
+        Chunk(d.doc_id, 0, 1, d.spans.sortBy(_.offset)), cfg)))
+    })
 
-    // 2b. salted minority: spread chunks by (doc_id, salt) so one mega-doc
-    //     fans across tasks, extract, then regroup + exact merge.
-    val salted = chunks.where(col("nChunks") > 1)
+    // 1b. salted minority: split into contiguous span chunks, spread by
+    //     (doc_id, salt) so one mega-doc fans across tasks, extract, then
+    //     regroup + exact merge (cross-chunk dehyphenator replay).
+    val salted = input.where(isMega)
+      .flatMap(d => splitChunks(d, cfg))
       .repartition(cfg.numPartitions, col("doc_id"), col("salt"))
       .as[Chunk]
       .mapPartitions(it => it.map(c => extractChunk(c, cfg)))

@@ -78,9 +78,10 @@ object Similarity {
       .where(col("rn") <= 2)
       .select(col("query_id"), col("qa").as("qq"), col("na").as("nq"), col("cid").as("probe_cid"))
 
-    // candidate search restricted to probed partitions
+    // candidate search restricted to probed partitions; the probe set is
+    // tiny (|queries|×2) → broadcast it so the corpus side never shuffles
     val byRank = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id").asc)
-    probes.join(assigned, col("probe_cid") === col("assigned_cid"))
+    broadcast(probes).join(assigned, col("probe_cid") === col("assigned_cid"))
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("d2", expr("nq + na - 2 * aggregate(zip_with(qq, qa, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
       .withColumn("rank", row_number().over(byRank))

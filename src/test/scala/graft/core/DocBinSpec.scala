@@ -96,3 +96,23 @@ class DocBinDispatchSpec extends AnyFunSuite {
     assert(r.spans.head.text.startsWith("text-extraction-service"))
   }
 }
+
+/** Size-reject rules (S4, docfactory.go:28-29 / config.go:34). */
+class SizeRejectSpec extends AnyFunSuite {
+  test("payload over maxFileBytes rejects as too_large") {
+    val big = java.util.Base64.getEncoder.encodeToString(new Array[Byte](2048))
+    val r = Extractor.extract("d", Seq(Extractor.Span("rtf", big, "", 0)),
+      Extractor.Config(maxFileBytes = 1024))
+    assert(r.failure == "too_large")
+    assert(r.spans.isEmpty)
+  }
+
+  test("empty payload rejects as zero_size") {
+    val r = Extractor.extract("d", Seq(Extractor.Span("rtf", "", "", 0)))
+    assert(r.failure == "zero_size")
+  }
+
+  test("empty span list rejects as zero_size") {
+    assert(Extractor.extract("d", Seq.empty).failure == "zero_size")
+  }
+}

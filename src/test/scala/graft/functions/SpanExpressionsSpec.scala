@@ -41,3 +41,30 @@ class SpanExpressionsSpec extends AnyFunSuite {
     assert(!out.contains("Home"))
   }
 }
+
+/** Extension-injection path: a fresh session built with
+  * spark.sql.extensions=graft.functions.GraftExtensions resolves the
+  * functions without explicit registration.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("functions inject via SparkSessionExtensions") {
+    // force a fresh SparkSession (shared context OK, must not be reused
+    // session or withExtensions is ignored); never stop() — the context is
+    // shared with other suites in this JVM
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val out = s2.sql("select dehyphenate('Stra-\nße\n', false) as d").as[String].head()
+      assert(out == "Straße\n")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
