@@ -175,7 +175,34 @@ object Relational {
       .orderBy(col("failure_code"))
   }
 
+  /** EXISTS via left-semi: customers with a high-value order, counted per
+    * segment. Scale: semi-join shuffles only keys; orders side prunes on the
+    * pushed price filter before the join.
+    */
+  def qExistsSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val bigOrders = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 100000.0)
+      .select(col("o_custkey"))
+    cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Set ops: brands carried in large sizes EXCEPT brands with any cheap
+    * part. Scale: EXCEPT plans as aggregate + anti-join on the distinct sets.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+    val large = part.filter(col("p_size") > 25).select(col("p_brand")).distinct()
+    val cheap = part.filter(col("p_retailprice") < 1200.0).select(col("p_brand")).distinct()
+    large.except(cheap).orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exists_semijoin" -> (qExistsSemijoin _),
+    "q_setops" -> (qSetOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_region_rollup" -> (q5RegionRollup _),
@@ -188,6 +215,17 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_exists_semijoin" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_setops" ->
+      """SELECT p_brand FROM part WHERE p_size > 25
+         EXCEPT
+         SELECT p_brand FROM part WHERE p_retailprice < 1200.0
+         ORDER BY p_brand""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -106,10 +106,35 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Sign-random-hyperplane LSH buckets: 12 deterministic hyperplanes whose
+    * components derive from md5(plane, dim) — sign of ⟨q, h⟩ per plane packs
+    * into a 12-bit bucket id. Candidates = bucket collisions (equi-join, the
+    * scale path); exact integer cosine verifies. All integer arithmetic, so
+    * the DuckDB oracle matches exactly.
+    */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    // hyperplane component h[p][d] in [-500,500]: md5-derived, same in SQL
+    val hExpr = (p: Int) =>
+      s"""aggregate(
+            zip_with(q, sequence(0, size(q) - 1),
+              (x, d) -> x * (cast(conv(substring(md5(concat('hp$p-', d)), 1, 15), 16, 10) as bigint) % 1001 - 500)),
+            0L, (a, x) -> a + x)"""
+    val withBits = (0 until 12).foldLeft(v) { (df, p) =>
+      df.withColumn(s"b$p", expr(s"if(${hExpr(p)} >= 0, shiftleft(1, $p), 0)"))
+    }
+    withBits
+      .withColumn("bucket", (0 until 12).map(p => col(s"b$p")).reduce(_ + _))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_ivf" -> (knnIvf _),
-    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _)
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "ann_lsh_buckets" -> (annLshBuckets _)
   )
 
   private val QSql =
@@ -164,6 +189,17 @@ object Similarity {
             FROM cand)
           SELECT query_id, rank, neighbor_id, d2
           FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+    "ann_lsh_buckets" -> {
+      val hSql = (p: Int) =>
+        s"""list_sum([q[d + 1] * (CAST(concat('0x', substr(md5(concat('hp$p-', d)), 1, 15)) AS BIGINT) % 1001 - 500)
+             for d in generate_series(0, len(q) - 1)])"""
+      val bits = (0 until 12).map(p =>
+        s"(CASE WHEN ${hSql(p)} >= 0 THEN (1 << $p) ELSE 0 END)").mkString(" + ")
+      s"""WITH v AS ($VSql),
+          b AS (SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM v)
+          SELECT bucket, COUNT(*) AS n_vectors, min(vec_id) AS min_vec
+          FROM b GROUP BY bucket ORDER BY bucket"""
+    },
     "dedup_embedding_cosine" ->
       s"""WITH v AS ($VSql),
           p AS (
