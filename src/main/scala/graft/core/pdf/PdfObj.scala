@@ -28,6 +28,12 @@ final class PdfLexer(val data: Array[Byte], var pos: Int) {
 
   final class ParseException(msg: String) extends RuntimeException(msg)
 
+  /** recursion guard: crafted deep nesting ([[[[… or <<<<…) must fail as a
+    * parse error, not a StackOverflowError the row-level catch can't see
+    */
+  private var depth = 0
+  private val MaxDepth = 128
+
   @inline private def ws(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0
   @inline private def delim(b: Byte): Boolean =
@@ -50,7 +56,9 @@ final class PdfLexer(val data: Array[Byte], var pos: Int) {
   def parseObj(): PdfObj = {
     skipWs()
     if (pos >= data.length) throw new ParseException("EOF")
-    (data(pos): @annotation.switch) match {
+    if (depth > MaxDepth) throw new ParseException("nesting too deep")
+    depth += 1
+    try (data(pos): @annotation.switch) match {
       case '/' => parseName()
       case '(' => parseLiteralString()
       case '[' => parseArray()
@@ -58,7 +66,7 @@ final class PdfLexer(val data: Array[Byte], var pos: Int) {
         if (pos + 1 < data.length && data(pos + 1) == '<') parseDictOrStream()
         else parseHexString()
       case _ => parseNumberKeywordOrRef()
-    }
+    } finally depth -= 1
   }
 
   def parseName(): PdfName = {

@@ -1,0 +1,98 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Garbage-tolerance: at corpus scale every format parser sees truncated,
+  * corrupt, and adversarial bytes. The Extractor must classify, never
+  * throw. Deterministic fuzz via seeded RNG.
+  */
+class RobustnessSpec extends AnyFunSuite {
+
+  private val magics: Seq[Array[Byte]] = Seq(
+    "%PDF-1.4\n".getBytes("ISO-8859-1"),
+    "{\\rtf1\\ansi ".getBytes("ISO-8859-1"),
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte),
+    Array('P'.toByte, 'K'.toByte, 3.toByte, 4.toByte),
+    "<!doctype html><html>".getBytes("ISO-8859-1"),
+    Array.emptyByteArray)
+
+  test("random bytes after every magic prefix never escape as exceptions") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 300) {
+      val magic = magics(trial % magics.length)
+      val junk = new Array[Byte](rnd.nextInt(2000))
+      rnd.nextBytes(junk)
+      val payload = java.util.Base64.getEncoder.encodeToString(magic ++ junk)
+      val r = Extractor.extract(s"fuzz$trial",
+        Seq(Extractor.Span("bin", payload, "", 0)))
+      // must return a Result — any failure code (or even success on
+      // byte salads that happen to parse) is acceptable; throwing is not
+      assert(r != null)
+      if (r.failure.nonEmpty)
+        assert(Set("zero_size", "too_large", "unknown_format", "parse_error",
+          "content_not_found", "encrypted", "limit_exceeded").contains(r.failure), r.failure)
+    }
+  }
+
+  test("truncations of a valid PDF never throw") {
+    val pdf = graft.core.pdf.PdfBuilder.build(
+      Seq(Seq(graft.core.pdf.PdfBuilder.Line("truncate me please now", 50, 700))))
+    for (len <- Seq(1, 8, 64, pdf.length / 4, pdf.length / 2, pdf.length - 10)) {
+      val cut = java.util.Arrays.copyOf(pdf, len)
+      val r = Extractor.extract("t",
+        Seq(Extractor.Span("pdf", java.util.Base64.getEncoder.encodeToString(cut), "", 0)))
+      assert(r != null)
+    }
+  }
+
+  test("truncations of a valid docx zip never throw") {
+    val docx = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      z.write("<w:document><w:body><w:p><w:t>text here</w:t></w:p></w:body></w:document>".getBytes)
+      z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    for (len <- Seq(4, 30, docx.length / 2, docx.length - 5)) {
+      val cut = java.util.Arrays.copyOf(docx, len)
+      val r = Extractor.extract("t",
+        Seq(Extractor.Span("docx", java.util.Base64.getEncoder.encodeToString(cut), "", 0)))
+      assert(r != null)
+    }
+  }
+
+  test("dehyphenator chunk-state invariance: any line-boundary split == whole") {
+    // generalizes dehyphen_test.go:26-49 to the chunked-page API
+    val rnd = new scala.util.Random(99)
+    val words = Array("wort", "Wort", "EU", "E", "stra", "ße", "Mail", "-", "")
+    for (_ <- 0 until 300) {
+      val lines = Seq.fill(rnd.nextInt(10) + 1)(
+        Seq.fill(rnd.nextInt(4) + 1)(words(rnd.nextInt(words.length))).mkString(" ") +
+          Seq("", "-", "‐")(rnd.nextInt(3)) + "\n")
+      val text = lines.mkString
+      val whole = Dehyphenator.dehyphenate(text, removeNewlines = false)
+      // random chunking at line boundaries
+      var pend = 0
+      val sb = new StringBuilder
+      var i = 0
+      while (i < lines.length) {
+        val take = 1 + rnd.nextInt(3)
+        val chunk = lines.slice(i, i + take).mkString
+        val (out, p) = Dehyphenator.dehyphenateChunk(chunk, removeNewlines = false, pend)
+        sb.append(out); pend = p
+        i += take
+      }
+      assert(sb.toString == whole, s"input=${text.replace("\n", "\\n")}")
+    }
+  }
+
+  test("deeply nested PDF arrays fail as parse_error, not StackOverflow") {
+    val deep = ("%PDF-1.4\n1 0 obj\n" + "[" * 100000 + "]" * 100000 +
+      "\nendobj\ntrailer\n<< /Root 1 0 R >>\nstartxref\n9\n%%EOF").getBytes("ISO-8859-1")
+    val r = Extractor.extract("deep",
+      Seq(Extractor.Span("pdf", java.util.Base64.getEncoder.encodeToString(deep), "", 0)))
+    assert(r != null)
+    assert(r.failure.isEmpty || r.failure == "parse_error")
+  }
+}
