@@ -200,7 +200,21 @@ object Relational {
     large.except(cheap).orderBy(col("p_brand"))
   }
 
+  /** Semi-structured props: JSON extraction + rollup (the schema-on-read
+    * path; get_json_object is codegen'd and prunes to the props column).
+    */
+  def qJsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_props" -> (qJsonProps _),
     "q_exists_semijoin" -> (qExistsSemijoin _),
     "q_setops" -> (qSetOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -215,6 +229,11 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_exists_semijoin" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers
          FROM customer
