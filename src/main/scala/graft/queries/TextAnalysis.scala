@@ -88,7 +88,21 @@ object TextAnalysis {
         expr("size(hs)").as("n_words"))
       .orderBy(col("doc_id"))
 
+  /** Vocabulary statistics per source: exact distinct words (the corpus-
+    * curation shape; at 100 TB the exact count is one shuffle on
+    * (source, word) with partial aggregation — swap count_distinct for
+    * approx_count_distinct when ±2% suffices and the shuffle must go).
+    */
+  def textVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"), explode(expr(WordsExpr)).as("w"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("vocab"),
+        count(lit(1)).as("tokens"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab" -> (textVocab _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -99,6 +113,10 @@ object TextAnalysis {
   private val WhSql = "CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "text_vocab" ->
+      s"""SELECT source, COUNT(DISTINCT w) AS vocab, COUNT(*) AS tokens
+          FROM (SELECT source, unnest($WordsSql) AS w FROM documents) t
+          GROUP BY source ORDER BY source""",
     "text_tokens" ->
       s"""SELECT doc_id, len($WordsSql) AS ws_tokens,
           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens,

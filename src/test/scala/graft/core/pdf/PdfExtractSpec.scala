@@ -16,6 +16,13 @@ class PdfExtractSpec extends AnyFunSuite {
     val txt2 = PdfExtract.pageText(f, 1).getOrElse("")
     info(s"page1 (${txt2.length} chars): ${txt2.take(300)}")
     assert(txt2.nonEmpty)
+    // pinned regression goldens (our extraction of the real Bundestag doc:
+    // CID font decode, reading order, artifact suppression all visible here)
+    assert(txt.contains("Deutscher Bundestag  Drucksache 20/1")) // 2-space gap: separate spans joined
+    assert(txt.contains("20. Wahlperiode  25.10.2021"))
+    assert(txt.contains("Der Bundestag wolle beschließen:"))
+    assert(txt.contains("die Geschäftsordnung des Deutschen Bundestages"))
+    assert(txt.trim.endsWith("(BGBl. I S. 677);"))
   }
 
   test("2000001.pdf metadata (title golden, 13 native keys)") {
