@@ -11,6 +11,7 @@ object OneBench {
     val cores = if (args.length > 1) args(1).toInt else 32
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
+      .config("spark.task.cpus", sys.env.getOrElse("SPARK_TASK_CPUS", "1"))
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
