@@ -111,7 +111,56 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate-cluster assembly: connected components over the
+    * near-dup pair graph (Jaccard ≥ 0.25 edges), via min-label propagation
+    * to the fixpoint. Deterministic: the fixpoint (min doc_id per
+    * component) is iteration-order independent. Scale note: this is the
+    * naive O(diameter) propagation — at 10^12 nodes swap in the
+    * large-star/small-star algorithm (Kiveris et al.) with the same
+    * join-per-round shape; near-dup graphs have tiny diameters, so rounds
+    * stay in single digits either way.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    // symmetric edge list + self-loops for isolated membership
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    val nodes = edges.select(col("doc_a").as("id")).distinct()
+    var labels = nodes.withColumn("comp", col("id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      // candidate label per node: min(own, min over neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "doc_b").withColumnRenamed("comp", "nbr_comp"), "doc_b")
+        .groupBy(col("doc_a").as("id"))
+        .agg(min(col("nbr_comp")).as("nbr_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .where(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val out = labels
+      .groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("size_"),
+        collect_list(col("id")).as("ids"))
+      .select(col("component"), col("size_").as("size"),
+        array_join(array_sort(col("ids")), ",").as("members"))
+      .orderBy(col("component"))
+    edges.unpersist(); pairs.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> (dedupComponents _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
@@ -141,6 +190,29 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_components" ->
+      s"""WITH RECURSIVE
+          w0 AS (SELECT doc_id, $WordsSql AS w FROM documents),
+          s0 AS (SELECT doc_id, list_distinct($ShinglesSql) AS sset FROM w0),
+          inv AS (SELECT doc_id, len(sset) AS nsh, unnest(sset) AS sh FROM s0),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
+              COUNT(*) AS inter
+            FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          pairs AS (
+            SELECT doc_a, doc_b FROM p WHERE inter * 4 >= (na + nb - inter)),
+          edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+          reach(node, root) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node)
+          SELECT component, COUNT(*) AS "size",
+            string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+          FROM comp GROUP BY component ORDER BY component""",
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS representative,
          COUNT(*) AS n_copies
