@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.VectorExpressions.{h31, minhash_sigs, shingles3}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,24 +9,16 @@ import org.apache.spark.sql.functions._
   * integer arithmetic).
   *
   * Scale shapes:
-  *   - signatures/fingerprints are per-row HOF folds (narrow, no explode);
+  *   - signatures/fingerprints are per-row single-pass codegen'd kernels
+  *     ([[graft.functions.VectorExpressions]]) — round 1's interpreted HOF
+  *     folds re-evaluated the word split per shingle index (O(W²)/doc) and
+  *     cost ~µs per lambda application; the native kernels are one pass;
   *   - candidate generation is an equi-join on band/shingle (shuffle on the
   *     bucket key — the LSH scale path), never an O(n²) cross join;
   *   - Jaccard verification uses exact integer counts (4·|∩| ≥ |∪| for
   *     threshold 0.25), so results are engine-independent.
   */
 object Dedup {
-
-  private val WordsExpr = "filter(split(text, ' '), w -> w <> '')"
-
-  /** 3-word shingle strings → 60-bit md5 hashes → mod 2^31-1. */
-  private val ShinglesExpr =
-    s"""transform(
-          sequence(1, greatest(size($WordsExpr) - 2, 0)),
-          i -> array_join(slice($WordsExpr, i, 3), ' '))"""
-  private val ShingleH31 =
-    s"""transform($ShinglesExpr,
-          s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647L)"""
 
   /** Exact dedup: group by content hash (the canonical 100 TB shape — one
     * shuffle on md5(text), partial agg upstream).
@@ -37,33 +30,31 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
 
-  /** MinHash signatures: 8 permutations (a·h + b mod 2^31-1) folded per row
-    * with HOFs, plus 2 LSH band keys (md5 of 4 sig values).
+  /** MinHash signatures + 2 LSH band keys, no presentation sort — the
+    * reusable building block ([[dedupMinhashPairs]] must not inherit an
+    * `orderBy`). One narrow pass: shingle → md5 → 8 affine permutations.
     */
-  def dedupMinhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-      .withColumn("sh", expr(ShingleH31))
-    val withSigs = (0 until 8).foldLeft(docs) { (df, i) =>
-      val a = 387421L * (i + 1)
-      val b = 98765L * (i + 1) + 12345L
-      df.withColumn(s"sig$i",
-        expr(s"aggregate(sh, 2147483647L, (m, x) -> least(m, ($a * x + $b) % 2147483647L))"))
-    }
-    withSigs
+  private def minhashSigBase(spark: SparkSession, dir: String): DataFrame = {
+    val sigCols = (0 until 8).map(i => element_at(col("sigs"), i + 1).as(s"sig$i"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), minhash_sigs(h31(shingles3(col("text")))).as("sigs"))
+      .select(col("doc_id") +: sigCols: _*)
       .withColumn("band0", md5(concat_ws("-", col("sig0"), col("sig1"), col("sig2"), col("sig3"))))
       .withColumn("band1", md5(concat_ws("-", col("sig4"), col("sig5"), col("sig6"), col("sig7"))))
-      .select(col("doc_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3"),
-        col("sig4"), col("sig5"), col("sig6"), col("sig7"), col("band0"), col("band1"))
-      .orderBy(col("doc_id"))
   }
 
+  /** MinHash signatures: 8 permutations (a·h + b mod 2^31-1) + band keys. */
+  def dedupMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    minhashSigBase(spark, dir).orderBy(col("doc_id"))
+
   /** MinHash-LSH candidate pairs: docs sharing any band bucket. The join is
-    * on the band value — the scalable inverted-index shape.
+    * on the band value — the scalable inverted-index shape. The two band
+    * columns flow through ONE explode (round 1 built a 2-branch union that,
+    * combined with the self-join, recomputed the signature subtree 4×).
     */
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = dedupMinhashSig(spark, dir)
-    val bands = sigs.select(col("doc_id"), col("band0").as("band"))
-      .union(sigs.select(col("doc_id"), col("band1").as("band")))
+    val bands = minhashSigBase(spark, dir)
+      .select(col("doc_id"), explode(array(col("band0"), col("band1"))).as("band"))
     val a = bands.toDF("doc_a", "band")
     val b = bands.toDF("doc_b", "band")
     a.join(b, "band")
@@ -73,12 +64,15 @@ object Dedup {
   }
 
   /** SimHash (32-bit): per-bit majority vote over word hashes. Spark side
-    * is a per-row HOF fold over 32 bit positions — no explode.
+    * is a per-row HOF fold over 32 bit positions — no explode. (The word
+    * hash array is computed once per row — not the O(W²) shingle shape —
+    * and this query is sub-second at bench scale, so it keeps the HOF
+    * form as the readable reference implementation.)
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("hs",
-        expr(s"transform($WordsExpr, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
+        expr("transform(filter(split(text, ' '), w -> w <> ''), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
       .select(col("doc_id"),
         expr("""aggregate(
                   sequence(0, 31),
@@ -89,16 +83,26 @@ object Dedup {
         expr("size(hs)").as("n_words"))
       .orderBy(col("doc_id"))
 
+  /** Distinct shingle sets (strings — the Jaccard contract hashes nothing,
+    * so two distinct shingles never collide).
+    */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sset"))
+      .select(col("doc_id"), col("sset"), size(col("sset")).as("nsh"))
+
   /** N-gram Jaccard near-dup pairs (threshold 0.25, exact): inverted index
     * on distinct shingles → pair intersection counts → integer-compare
     * 4·|∩| ≥ |∪|. No floats anywhere; the shingle join prunes to pairs with
     * ≥1 common shingle, which is exactly the support of the predicate.
+    * Scale note: a document-frequency cap on hot shingles (drop shingles in
+    * > K docs — they only ever contribute to pairs that share rarer
+    * shingles too, for any K ≥ 1/threshold) bounds the skew of the
+    * inverted-index join at 10^12 docs.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-      .withColumn("sset", expr(s"array_distinct($ShinglesExpr)"))
-      .select(col("doc_id"), col("sset"), expr("size(sset)").as("nsh"))
-    val inv = docs.select(col("doc_id"), col("nsh"), explode(col("sset")).as("sh"))
+    val inv = shingleSets(spark, dir)
+      .select(col("doc_id"), col("nsh"), explode(col("sset")).as("sh"))
     val a = inv.toDF("doc_a", "na", "sh")
     val b = inv.toDF("doc_b", "nb", "sh")
     a.join(b, "sh")
@@ -111,43 +115,18 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Duplicate-cluster assembly: connected components over the
-    * near-dup pair graph (Jaccard ≥ 0.25 edges), via min-label propagation
-    * to the fixpoint. Deterministic: the fixpoint (min doc_id per
-    * component) is iteration-order independent. Scale note: this is the
-    * naive O(diameter) propagation — at 10^12 nodes swap in the
-    * large-star/small-star algorithm (Kiveris et al.) with the same
-    * join-per-round shape; near-dup graphs have tiny diameters, so rounds
-    * stay in single digits either way.
+  /** Duplicate-cluster assembly: connected components over the near-dup
+    * pair graph (Jaccard ≥ 0.25 edges) via alternating large-star /
+    * small-star ([[ConnectedComponents.largeSmallStar]]) — O(log² n) rounds
+    * on any graph shape, so the driver-side convergence probe count is
+    * bounded even on 10^12-node chain graphs where round-1's naive
+    * min-label propagation paid one action per hop of the graph diameter.
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .persist()
-    // symmetric edge list + self-loops for isolated membership
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
-    val nodes = edges.select(col("doc_a").as("id")).distinct()
-    var labels = nodes.withColumn("comp", col("id")).persist()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      // candidate label per node: min(own, min over neighbors' labels)
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "doc_b").withColumnRenamed("comp", "nbr_comp"), "doc_b")
-        .groupBy(col("doc_a").as("id"))
-        .agg(min(col("nbr_comp")).as("nbr_min"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .where(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
+    val labels = ConnectedComponents.largeSmallStar(pairs)
     val out = labels
       .groupBy(col("comp").as("component"))
       .agg(count(lit(1)).as("size_"),
@@ -155,7 +134,7 @@ object Dedup {
       .select(col("component"), col("size_").as("size"),
         array_join(array_sort(col("ids")), ",").as("members"))
       .orderBy(col("component"))
-    edges.unpersist(); pairs.unpersist()
+    pairs.unpersist()
     out
   }
 

@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.functions.VectorExpressions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native kernels must compute EXACTLY the values the DuckDB oracle SQL
+  * defines. Rather than re-deriving those values by hand, each test compares
+  * the native expression against the interpreted Spark-SQL HOF formula that
+  * round 1 shipped (which was oracle-green) on adversarial inputs.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "", " ", "  leading and  double  spaces ",
+      "one", "one two", "one two three", "one two three four",
+      "Ünïcödé wörds ärê fîne tøø ünïcödé wörds",
+      "a b a b a b a b a b a b a b a b",
+      "x\ty embedded\ttabs stay inside words",
+      "newline\nstays inside a word token too"
+    ).toDF("text")
+  }
+
+  test("shingles3 matches transform/slice/array_join HOF formula") {
+    import spark.implicits._
+    // the round-1 HOF formula, with words hoisted (valid for W >= 3; for
+    // W < 3 the HOF sequence(1,0) misbehaves, so filter those rows there —
+    // the native kernel defines max(W-2,0) shingles, DuckDB semantics)
+    val words = expr("filter(split(text, ' '), w -> w <> '')")
+    val hof = docs.withColumn("w", words).where(size(col("w")) >= 3)
+      .select(col("text"),
+        expr("transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))").as("expect"))
+      .withColumn("got", shingles3(col("text")))
+    val bad = hof.where(not(col("expect") === col("got"))).count()
+    assert(bad == 0)
+    // W < 3 → empty
+    val small = docs.withColumn("w", words).where(size(col("w")) < 3)
+      .select(size(shingles3(col("text"))).as("n")).as[Int].collect()
+    assert(small.forall(_ == 0) && small.nonEmpty)
+  }
+
+  test("h31 matches conv(substring(md5)) formula") {
+    val hof = docs
+      .withColumn("sh", shingles3(col("text")))
+      .withColumn("expect",
+        expr("transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647L)"))
+      .withColumn("got", h31(col("sh")))
+    assert(hof.where(not(col("expect") === col("got"))).count() == 0)
+  }
+
+  test("minhash_sigs matches the 8 aggregate folds") {
+    val base = docs.withColumn("sh", h31(shingles3(col("text"))))
+    val withExpect = (0 until 8).foldLeft(base) { (df, i) =>
+      val a = 387421L * (i + 1)
+      val b = 98765L * (i + 1) + 12345L
+      df.withColumn(s"e$i",
+        expr(s"aggregate(sh, 2147483647L, (m, x) -> least(m, ($a * x + $b) % 2147483647L))"))
+    }
+    val got = withExpect.withColumn("got", minhash_sigs(col("sh")))
+    val bad = (0 until 8).map(i =>
+      got.where(element_at(col("got"), i + 1) =!= col(s"e$i")).count()).sum
+    assert(bad == 0)
+    // empty input → fold init value
+    import spark.implicits._
+    val empty = Seq("x y").toDF("text") // 2 words → 0 shingles
+      .select(minhash_sigs(h31(shingles3(col("text")))).as("s"))
+      .as[Seq[Long]].head()
+    assert(empty == Seq.fill(8)(2147483647L))
+  }
+
+  test("dot_i64 matches zip_with/aggregate and participates in codegen") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-500L, 500L, 0L), Seq(500L, 500L, 123L)),
+      (Seq.empty[Long], Seq.empty[Long])
+    ).toDF("a", "b")
+    val out = df
+      .withColumn("expect", expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, x) -> s + x)"))
+      .withColumn("got", dot_i64(col("a"), col("b")))
+    // empty arrays: HOF gives 0, native gives 0
+    assert(out.where(coalesce(col("expect"), lit(0L)) =!= col("got")).count() == 0)
+    val plan = spark.range(3)
+      .select(dot_i64(array(col("id")), array(col("id"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // codegen'd stage
+  }
+
+  test("hyperplane literals match the per-row md5 SQL derivation") {
+    import graft.queries.Similarity
+    val h0 = Similarity.hyperplane(0, 4)
+    val viaSql = spark.sql(
+      """select transform(sequence(0, 3),
+           d -> cast(conv(substring(md5(concat('hp0-', d)), 1, 15), 16, 10) as bigint) % 1001 - 500) as h""")
+      .head().getSeq[Long](0)
+    assert(h0.toSeq == viaSql)
+  }
+}
