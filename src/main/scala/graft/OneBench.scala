@@ -20,12 +20,17 @@ object OneBench {
     Bench.extractionBench(spark, math.max(nDocs / 5, 5000), cores) // warmup
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
     val cpu0 = osBean.getProcessCpuTime
+    val gc0 = gcMs
     val t0 = System.nanoTime()
     val (sec, ok) = Bench.extractionBench(spark, nDocs, cores)
     val wall = (System.nanoTime() - t0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
-    println(f"""{"bench":"one","docs":$nDocs,"cores":$cores,"docs_per_sec":${nDocs / sec}%.0f,"ok":$ok,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"cpu_util_cores":${cpuSec / wall}%.1f}""")
+    val gcSec = (gcMs - gc0) / 1e3
+    println(f"""{"bench":"one","docs":$nDocs,"cores":$cores,"docs_per_sec":${nDocs / sec}%.0f,"ok":$ok,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"cpu_util_cores":${cpuSec / wall}%.1f,"gc_sec":$gcSec%.2f}""")
     spark.stop()
   }
 }

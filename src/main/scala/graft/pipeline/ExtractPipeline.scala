@@ -141,9 +141,14 @@ object ExtractPipeline {
 
   /** Byte cost as a Catalyst column expression — evaluated on columnar scan
     * batches, so the mega/small routing decision never deserializes a row.
+    * Codegen'd native expression: the interpreted `aggregate(..., length)`
+    * HOF it replaces dominated the whole extraction stage (it runs on every
+    * row of BOTH branch scans). UTF-8 byte count vs [[docBytes]]'s UTF-16
+    * char count only shifts WHICH side of the salting threshold a borderline
+    * doc lands on — both paths produce identical merged output (salting
+    * byte-identity property test), so the routing basis is pure policy.
     */
-  private def docBytesCol = expr(
-    "aggregate(spans, 0L, (a, s) -> a + length(s.text) + length(s.media_ref))")
+  private def docBytesCol = graft.functions.SpanExpressions.span_byte_cost(col("spans"))
 
   def extract(input: Dataset[Doc], cfg: PipelineConfig = PipelineConfig()): Dataset[ExtractedDoc] = {
     val spark = input.sparkSession
