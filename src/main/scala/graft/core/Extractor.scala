@@ -61,6 +61,18 @@ object Extractor {
       data(2) == 'r' && data(3) == 't' && data(4) == 'f') "rtf"
     else if (at(0) == 0xD0 && at(1) == 0xCF && at(2) == 0x11 && at(3) == 0xE0) "ole" // CFB: doc/ppt
     else if (at(0) == 'P' && at(1) == 'K' && (at(2) == 3 || at(2) == 5 || at(2) == 7)) "zip" // docx/odt/pptx/odp
+    // image magics (docfactory.go:201-203 routes image/* to the OCR parser;
+    // imageparser/image.go:29-82 tags x-doctype=<ext>)
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G' &&
+      at(4) == 0x0D && at(5) == 0x0A && at(6) == 0x1A && at(7) == 0x0A) "img:png"
+    else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) "img:jpg"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8' &&
+      (at(4) == '7' || at(4) == '9') && at(5) == 'a') "img:gif"
+    else if ((at(0) == 'I' && at(1) == 'I' && at(2) == 0x2A && at(3) == 0) ||
+      (at(0) == 'M' && at(1) == 'M' && at(2) == 0 && at(3) == 0x2A)) "img:tiff"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'E' && at(10) == 'B' && at(11) == 'P') "img:webp"
+    else if (at(0) == 'B' && at(1) == 'M' && data.length > 26) "img:bmp"
     else {
       val head = new String(data, 0, math.min(256, data.length), "ISO-8859-1")
         .toLowerCase.dropWhile(_.isWhitespace)
@@ -159,6 +171,18 @@ object Extractor {
               case k => k
             }
             kind match {
+              case img if img.startsWith("img:") =>
+                // whole-image document (docfactory.go:201-203): with OCR
+                // enabled it becomes a media span routed to downstream OCR
+                // (transcripts are out of process scope, like the PDF image
+                // pages); without OCR the reference has no parser for it.
+                if (!cfg.ocrEnabled) failure = "unknown_format"
+                else {
+                  val ext = img.drop(4)
+                  metadata ++= Map("x-doctype" -> ext) // imageparser/image.go:70-82
+                  out += Span("media", "", s"image:$docId/span${s.offset}.$ext", offset)
+                  offset += 1
+                }
               case "docx" | "odt" | "pptx" | "odp" =>
                 val d = OfficeXml.parse(payload, kind)
                 metadata ++= d.metadata
@@ -176,6 +200,7 @@ object Extractor {
                 emitWhole(RtfText.convert(payload))
               case "pdf" =>
                 val pf = new graft.core.pdf.PdfFile(payload)
+                if (pf.isEncrypted) throw new EncryptedException
                 metadata ++= graft.core.pdf.PdfExtract.metadata(pf)
                 var page = 0
                 val n = pf.pageCount

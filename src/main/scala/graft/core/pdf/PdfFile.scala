@@ -409,6 +409,14 @@ final class PdfFile(data: Array[Byte]) {
 
   def trailerDict: PdfDict = trailer
 
+  /** /Encrypt in the trailer ⇒ content streams are RC4/AES-encrypted.
+    * Surfaced as a distinct state so the pipeline can map it to the
+    * `encrypted` failure code (parity with the reference's typed errors for
+    * protected DOC/PPT, word.go:53-55 / ppt.go:461-463; its PDF reader
+    * (pdfcpu) likewise fails encrypted files distinctly).
+    */
+  def isEncrypted: Boolean = trailer.get("Encrypt").isDefined
+
   def catalog: PdfDict =
     trailer.get("Root").flatMap(dict).getOrElse(PdfDict(Map.empty))
 

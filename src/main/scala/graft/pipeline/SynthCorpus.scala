@@ -190,7 +190,20 @@ object SynthCorpus {
           case _ => Seq(Span("bin", b64(zipBytes("nothing.txt" -> "x")), "", 0)) // content_not_found
         }
       case _ =>
-        Seq(Span("media", "", s"s3://media/$docId/only.mp4", 0))
+        // media-only docs; the 39-mod-40 half carries a loose image binary
+        // instead — the image MIME dispatch path (docfactory.go:201-203):
+        // sniffed image/* payloads become OCR-routed media spans with
+        // x-doctype metadata.
+        if (id % 40 == 39) {
+          val body = sentence(r, 4).getBytes("UTF-8")
+          val magic: Array[Byte] = r.nextInt(3) match {
+            case 0 => Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+            case 1 => Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+            case _ => "GIF89a".getBytes("US-ASCII")
+          }
+          Seq(Span("bin", b64(magic ++ body), "", 0))
+        } else
+          Seq(Span("media", "", s"s3://media/$docId/only.mp4", 0))
     }
     Doc(docId, spans)
   }

@@ -213,7 +213,86 @@ object Relational {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** TPC-H Q2 shape — correlated scalar subquery: suppliers holding their
+    * nation's maximum account balance, EUROPE region only. Spark side uses
+    * the decorrelated plan Catalyst itself would produce (group-max +
+    * equi-join), which is the scale shape: the per-nation max aggregate is
+    * 25 rows → broadcast; no value arithmetic (raw double equality), so the
+    * oracle's correlated form matches exactly.
+    */
+  def q2TopSupplierPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val nation = Tables(spark, dir, "nation")
+    val supp = Tables(spark, dir, "supplier")
+    val maxPerNation = supp.groupBy(col("s_nationkey").as("mk"))
+      .agg(max(col("s_acctbal")).as("max_bal"))
+    supp
+      .join(broadcast(maxPerNation),
+        col("s_nationkey") === col("mk") && col("s_acctbal") === col("max_bal"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("n_name"), col("s_name"))
+  }
+
+  /** TPC-H Q4 shape — anti-join with a date predicate: H1-1997 orders with
+    * NO late-shipping lineitem (l_shipdate > o_orderdate + 60 days), counted
+    * per priority. Scale: the anti-join shuffles on orderkey with the date
+    * condition evaluated join-side; lineitem prunes to 2 columns.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q7 shape — volume shipping between two nations, both directions:
+    * lineitem → orders → customer → nation(cust), lineitem → supplier →
+    * nation(supp); revenue per (supp_nation, cust_nation, ship year).
+    * Scale: both nation dims and supplier broadcast; the two big joins
+    * shuffle on orderkey/custkey; DECIMAL(18,2) keeps the sum exact.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = "NATION_1"
+    val n2 = "NATION_2"
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") <= lit("1996-12-31").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nationC = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val nationS = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nationC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(nationS), col("s_nationkey") === col("sn_key"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D2) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_top_supplier" -> (q2TopSupplierPerNation _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
     "q_json_props" -> (qJsonProps _),
     "q_exists_semijoin" -> (qExistsSemijoin _),
     "q_setops" -> (qSetOps _),
@@ -229,6 +308,42 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q2_top_supplier" ->
+      """SELECT n_name, s_name, s_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'
+           AND s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                            WHERE s2.s_nationkey = supplier.s_nationkey)
+         ORDER BY n_name, s_name""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+           AND NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey
+                             AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM (
+           SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation nc ON c_nationkey = nc.n_nationkey
+           JOIN nation ns ON s_nationkey = ns.n_nationkey
+           WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+             AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+               OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))) t
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
     "q_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
