@@ -13,6 +13,12 @@ object OneBench {
       .master(s"local[$cores]")
       .config("spark.task.cpus", sys.env.getOrElse("SPARK_TASK_CPUS", "1"))
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // extraction fuses the whole kernel into the scan stage, so scan
+      // partitions must be sized by KERNEL cost, not by scan bytes: the
+      // ~100 MB bench corpus would otherwise pack into ~5 tasks at the
+      // 128 MB default and idle 27 of 32 cores (measured round 2)
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

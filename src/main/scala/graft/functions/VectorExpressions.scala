@@ -57,16 +57,11 @@ object VectorExpressions {
     (v << 4) | ((d(7) & 0xFF) >>> 4)
   }
 
-  /** 3-word shingles of a document: words = text split on U+0020 (empty
-    * tokens dropped — `filter(split(text,' '), w -> w <> '')`), shingle i =
-    * words[i..i+2] joined by a single space. W words → max(W−2, 0) shingles.
-    *
-    * Operates on the UTF-8 bytes directly (0x20 never occurs inside a
-    * multi-byte UTF-8 sequence) — no String round-trip.
+  /** Word [start, end) byte ranges: split on U+0020, empty tokens dropped —
+    * `filter(split(text,' '), w -> w <> '')`. Byte-level split is exact
+    * (0x20 never occurs inside a multi-byte UTF-8 sequence).
     */
-  def shingles3(text: UTF8String): ArrayData = {
-    val bytes = text.getBytes
-    // collect word [start, end) byte ranges
+  private def wordRanges(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
     var nWords = 0
     var starts = new Array[Int](16)
     var ends = new Array[Int](16)
@@ -84,6 +79,15 @@ object VectorExpressions {
         starts(nWords) = s; ends(nWords) = i; nWords += 1
       }
     }
+    (starts, ends, nWords)
+  }
+
+  /** 3-word shingles of a document: shingle i = words[i..i+2] joined by a
+    * single space. W words → max(W−2, 0) shingles. No String round-trip.
+    */
+  def shingles3(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, nWords) = wordRanges(bytes)
     val nSh = math.max(nWords - 2, 0)
     val out = new Array[Any](nSh)
     var k = 0
@@ -149,6 +153,34 @@ object VectorExpressions {
     new GenericArrayData(out)
   }
 
+  /** 32-bit SimHash over per-word md5 hashes: bit b set iff
+    * Σ_words (((h60(word) >> b) & 1)·2 − 1) > 0 — the exact value of the
+    * round-1 HOF formula / DuckDB oracle, one pass instead of 32
+    * interpreted folds.
+    */
+  def simhash32(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val (starts, ends, nWords) = wordRanges(bytes)
+    val votes = new Array[Int](32)
+    var w = 0
+    while (w < nWords) {
+      val h = md5H60(bytes, starts(w), ends(w) - starts(w))
+      var b = 0
+      while (b < 32) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   // ------------------------------------------------------------ expressions
 
   /** dot_i64(array<bigint>, array<bigint>) → bigint */
@@ -200,6 +232,18 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** simhash32(text) → bigint */
+  case class Simhash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(t: Any): Any = simhash32(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.VectorExpressions.simhash32($t);")
+    override protected def withNewChildInternal(c: Expression): Simhash32 =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------- Column API
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
 
@@ -207,4 +251,5 @@ object VectorExpressions {
   def shingles3(text: Column): Column = toColumn(Shingles3(toExpr(text)))
   def h31(arr: Column): Column = toColumn(H31(toExpr(arr)))
   def minhash_sigs(sh: Column): Column = toColumn(MinhashSigs(toExpr(sh)))
+  def simhash32(text: Column): Column = toColumn(Simhash32(toExpr(text)))
 }

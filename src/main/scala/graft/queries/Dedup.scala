@@ -63,24 +63,15 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash (32-bit): per-bit majority vote over word hashes. Spark side
-    * is a per-row HOF fold over 32 bit positions — no explode. (The word
-    * hash array is computed once per row — not the O(W²) shingle shape —
-    * and this query is sub-second at bench scale, so it keeps the HOF
-    * form as the readable reference implementation.)
+  /** SimHash (32-bit): per-bit majority vote over word hashes, one
+    * codegen'd pass per row (round 1 ran 32 interpreted HOF folds over the
+    * word-hash array).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .withColumn("hs",
-        expr("transform(filter(split(text, ' '), w -> w <> ''), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
       .select(col("doc_id"),
-        expr("""aggregate(
-                  sequence(0, 31),
-                  0L,
-                  (acc, b) -> acc + if(
-                    aggregate(hs, 0L, (s, h) -> s + (cast(shiftright(h, b) as bigint) % 2L) * 2L - 1L) > 0,
-                    shiftleft(1L, b), 0L))""").as("simhash"),
-        expr("size(hs)").as("n_words"))
+        graft.functions.VectorExpressions.simhash32(col("text")).as("simhash"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").as("n_words"))
       .orderBy(col("doc_id"))
 
   /** Distinct shingle sets (strings — the Jaccard contract hashes nothing,

@@ -78,6 +78,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(empty == Seq.fill(8)(2147483647L))
   }
 
+  test("simhash32 matches the 32 per-bit HOF folds") {
+    val hof = docs
+      .withColumn("hs",
+        expr("transform(filter(split(text, ' '), w -> w <> ''), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
+      .withColumn("expect",
+        expr("""aggregate(
+                  sequence(0, 31),
+                  0L,
+                  (acc, b) -> acc + if(
+                    aggregate(hs, 0L, (s, h) -> s + (cast(shiftright(h, b) as bigint) % 2L) * 2L - 1L) > 0,
+                    shiftleft(1L, b), 0L))"""))
+      .withColumn("got", simhash32(col("text")))
+    assert(hof.where(col("expect") =!= col("got")).count() == 0)
+  }
+
   test("dot_i64 matches zip_with/aggregate and participates in codegen") {
     import spark.implicits._
     val df = Seq(
