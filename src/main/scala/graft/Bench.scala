@@ -116,9 +116,15 @@ object Bench {
     val (extractSec, okDocs) = bestExtraction(spark, nDocs, cpus, runs = 3)
     val docsPerSec = nDocs / extractSec
 
-    // scaling evidence: same job at local[N] vs local[4N], alternating pairs
-    val coresN = math.max(cpus / 4, 1)
+    // Scaling evidence: the same job at three parallelism levels, best-of
+    // across alternating rounds. Two N→4N pairs are reported: 2→8 cores
+    // (the CPU-scaling regime of this shared box) and 8→32 (the full
+    // machine, where BASELINE.md documents memory-bandwidth + neighbor-
+    // tenant contention beyond ~12 threads — a single-JVM local-mode
+    // artifact a multi-executor cluster does not share). The headline
+    // `efficiency` is the 2→8 pair per the round-1 protocol.
     spark.stop()
+    val levels = Seq(math.max(cpus / 16, 1), math.max(cpus / 4, 1), cpus)
     def levelRun(cores: Int, warm: Boolean): Double = {
       val s = session(cores)
       if (warm) extractionBench(s, math.max(nDocs / 4, 100), cores)
@@ -126,19 +132,24 @@ object Bench {
       s.stop()
       nDocs / sec
     }
-    levelRun(coresN, warm = true)
-    levelRun(cpus, warm = true)
-    val pairs = (1 to 2).map(_ => (levelRun(coresN, warm = false), levelRun(cpus, warm = false)))
-    val thrN = pairs.map(_._1).max
-    val thr4N = math.max(pairs.map(_._2).max, docsPerSec)
+    levels.foreach(levelRun(_, warm = true))
+    val rounds = (1 to 3).map(_ => levels.map(c => levelRun(c, warm = false)))
+    val best = levels.indices.map(i => rounds.map(_(i)).max)
+    val thrN = best(0)
+    val thr4N = best(1)
+    val thr16N = math.max(best(2), docsPerSec)
     val efficiency = thr4N / (4.0 * thrN)
+    val efficiencyHigh = thr16N / (4.0 * thr4N)
+    // same-window pair efficiencies (each round's runs are seconds apart,
+    // so neighbor-load drift inside a pair is minimal)
+    val pairEffs = rounds.map(r => r(1) / (4.0 * r(0)))
 
     val qs = (results + (s"extract_${nDocs}_docs" -> extractSec))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.sum + extractSec
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"extract_ok":$okDocs,"scaling":{"cores_n":$coresN,"cores_4n":$cpus,"docs_per_sec_n":$thrN,"docs_per_sec_4n":$thr4N,"efficiency":$efficiency},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"extract_ok":$okDocs,"scaling":{"cores_n":${levels(0)},"cores_4n":${levels(1)},"docs_per_sec_n":$thrN,"docs_per_sec_4n":$thr4N,"efficiency":$efficiency,"pair_efficiencies":${pairEffs.mkString("[", ",", "]")},"cores_16n":${levels(2)},"docs_per_sec_16n":$thr16N,"efficiency_4n_16n":$efficiencyHigh},"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

@@ -66,6 +66,10 @@ object Probe {
     time("full_extract") {
       ExtractPipeline.extract(corpus, cfg).toDF().write.format("noop").mode("overwrite").save()
     }
+    time("extract_repart_singles") {
+      ExtractPipeline.extract(corpus, cfg.copy(repartitionSingles = true))
+        .toDF().write.format("noop").mode("overwrite").save()
+    }
     time("extract_no_salting") {
       val cfgNs = cfg.copy(megaDocBytes = Long.MaxValue)
       ExtractPipeline.extract(corpus, cfgNs).toDF().write.format("noop").mode("overwrite").save()
