@@ -46,7 +46,14 @@ object Extractor {
       removeNewlines: Boolean = true, // TES_REMOVE_NEWLINES default (config.go:60)
       maxFileBytes: Long = 300L * 1024 * 1024, // config.go:34
       ocrEnabled: Boolean = true,
-      ocrTriggerChars: Int = 200) // misc.go:38
+      ocrTriggerChars: Int = 200, // misc.go:38
+      /** The HasNewlines() dehyphenation gate (extract.go:173-179,
+        * constructDoc extract.go:256): when false — the reference's
+        * forked-subprocess path, where text arrives pre-extracted — the
+        * dehyphenator (including newline compaction) is bypassed entirely.
+        * All in-process parsers report true, hence the default.
+        */
+      hasNewlines: Boolean = true)
 
   val Default: Config = Config()
 
@@ -123,17 +130,23 @@ object Extractor {
       */
     def emitPages(pages: Seq[String]): Unit = pages.foreach { p =>
       noteContent(p + "\n")
-      val (t, pend) = Dehyphenator.dehyphenateChunk(p + "\n", cfg.removeNewlines, pendingHyphen)
-      pendingHyphen = pend
-      emitText(t)
+      if (!cfg.hasNewlines) emitText(p + "\n")
+      else {
+        val (t, pend) = Dehyphenator.dehyphenateChunk(p + "\n", cfg.removeNewlines, pendingHyphen)
+        pendingHyphen = pend
+        emitText(t)
+      }
     }
 
     /** Pageless formats: whole stream through the dehyphenator, one span. */
     def emitWhole(text: String): Unit = {
       noteContent(text)
-      val (t, pend) = Dehyphenator.dehyphenateChunk(text, cfg.removeNewlines, pendingHyphen)
-      pendingHyphen = pend
-      emitText(t)
+      if (!cfg.hasNewlines) emitText(text)
+      else {
+        val (t, pend) = Dehyphenator.dehyphenateChunk(text, cfg.removeNewlines, pendingHyphen)
+        pendingHyphen = pend
+        emitText(t)
+      }
     }
 
     // OCR rule (misc.go:38-40): pending media transcripts emitted before the

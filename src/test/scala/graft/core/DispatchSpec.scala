@@ -51,6 +51,15 @@ class DispatchSpec extends AnyFunSuite {
     assert(r.failure == "unknown_format")
   }
 
+  test("hasNewlines=false bypasses the dehyphenator (extract.go:173-179)") {
+    val raw = "Stra-\nße bleibt\nroh\n"
+    val doc = Seq(Extractor.Span("text", raw, "", 0))
+    val gated = Extractor.extract("d1", doc, Extractor.Config(hasNewlines = false))
+    assert(gated.spans.head.text == raw) // no dehyphenation, no newline removal
+    val normal = Extractor.extract("d1", doc)
+    assert(normal.spans.head.text == "Straße bleibt roh ")
+  }
+
   test("encrypted PDF yields the 'encrypted' failure code") {
     val pdf = graft.core.pdf.PdfBuilder.build(
       Seq(Seq(graft.core.pdf.PdfBuilder.Line("geheim", 50, 700))), title = "t")
