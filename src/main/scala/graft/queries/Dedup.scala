@@ -74,6 +74,33 @@ object Dedup {
         expr("size(filter(split(text, ' '), w -> w <> ''))").as("n_words"))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup pairs: Hamming distance ≤ 3 on the 32-bit signature.
+    * Candidates via the pigeonhole band trick — split 32 bits into 4 bands
+    * of 8; any pair within Hamming 3 differs in at most 3 bands, so it
+    * MUST agree exactly on ≥1 band. Recall is therefore 100% BY
+    * CONSTRUCTION (unlike probabilistic LSH), and candidate generation is
+    * an equi-join on (band index, band value) — the scale shape. Verify =
+    * bit_count(xor) ≤ 3, exact in both engines.
+    */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.simhash32(col("text")).as("simhash"))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.toDF("doc_a", "sim_a", "band_idx", "band_val")
+    val b = bands.toDF("doc_b", "sim_b", "band_idx", "band_val")
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Distinct shingle sets (strings — the Jaccard contract hashes nothing,
     * so two distinct shingles never collide).
     */
@@ -135,6 +162,7 @@ object Dedup {
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _)
   )
 
@@ -210,6 +238,27 @@ object Dedup {
           FROM t JOIN (SELECT doc_id, sum(bitval) AS simhash FROM bits GROUP BY doc_id) s
             ON t.doc_id = s.doc_id
           ORDER BY t.doc_id""",
+    "dedup_simhash_pairs" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_transform($WordsSql, w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+            FROM documents),
+          bits AS (
+            SELECT doc_id, b.b AS bit,
+              CASE WHEN list_sum(list_transform(hs, h -> ((h >> b.b) & 1) * 2 - 1)) > 0
+                   THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bitval
+            FROM t, (SELECT unnest(generate_series(0, 31)) AS b) b),
+          sigs AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, simhash, bi AS band_idx, (simhash >> (bi * 8)) & 255 AS band_val
+            FROM sigs, (SELECT unnest(generate_series(0, 3)) AS bi) q)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY doc_a, doc_b""",
     "dedup_ngram_jaccard" ->
       s"""WITH w0 AS (SELECT doc_id, $WordsSql AS w FROM documents),
           s0 AS (SELECT doc_id, list_distinct($ShinglesSql) AS sset FROM w0),

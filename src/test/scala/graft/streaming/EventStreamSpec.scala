@@ -41,4 +41,31 @@ class EventStreamSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("stateful first-seen dedup emits each content hash exactly once across micro-batches") {
+    // stage documents as 4 separate files so the file source delivers
+    // multiple micro-batches (maxFilesPerTrigger=1) and the dedup state
+    // must survive batch boundaries
+    val src = java.nio.file.Files.createTempDirectory("docs-src").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    val spark2 = spark
+    import spark2.implicits._
+    val q = EventStream.firstSeenDedup(spark, src,
+        spark.read.parquet(src).schema, maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("update").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("dedup_out").as[(String, Long)].collect().toSeq
+      val expectedHashes = docs.select(md5(col("text"))).distinct().as[String].collect().toSet
+      // exactly once per distinct hash
+      assert(emitted.map(_._1).toSet == expectedHashes)
+      assert(emitted.size == expectedHashes.size)
+      // every representative actually carries its hash
+      val hashOf = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)].collect().toMap
+      assert(emitted.forall { case (h, rep) => hashOf(rep) == h })
+    } finally q.stop()
+  }
 }
