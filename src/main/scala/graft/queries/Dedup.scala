@@ -133,6 +133,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Jaccard with a document-frequency cap — the web-scale skew dial: a
+    * boilerplate shingle appearing in df documents contributes O(df²)
+    * candidate pairs to the inverted-index join, so at 10^12 docs the hot
+    * tail must be dropped. Shingles in > maxDf docs are removed from the
+    * index (one count + one broadcast anti-join); |∩| then undercounts, so
+    * with the unchanged threshold predicate the result is a SUBSET of the
+    * exact query — a pure recall/cost dial, never false positives. The
+    * union sizes (na/nb) stay the FULL distinct-shingle counts.
+    */
+  def dedupNgramJaccardCapped(spark: SparkSession, dir: String,
+      maxDf: Long = 8L): DataFrame = {
+    val inv = shingleSets(spark, dir)
+      .select(col("doc_id"), col("nsh"), explode(col("sset")).as("sh"))
+    val hot = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .select(col("sh"))
+    val cold = inv.join(broadcast(hot), Seq("sh"), "left_anti")
+    val a = cold.toDF("sh", "doc_a", "na")
+    val b = cold.toDF("sh", "doc_b", "nb")
+    a.join(b, "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("unions", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * 4 >= col("unions"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("unions"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Duplicate-cluster assembly: connected components over the near-dup
     * pair graph (Jaccard ≥ 0.25 edges) via alternating large-star /
     * small-star ([[ConnectedComponents.largeSmallStar]]) — O(log² n) rounds
@@ -163,7 +192,8 @@ object Dedup {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
-    "dedup_ngram_jaccard" -> (dedupNgramJaccard _)
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_jaccard_capped" -> ((s: SparkSession, d: String) => dedupNgramJaccardCapped(s, d, 8L))
   )
 
   private val WordsSql = "list_filter(string_split(text, ' '), w -> w <> '')"
@@ -267,6 +297,20 @@ object Dedup {
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
               COUNT(*) AS inter
             FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+          SELECT doc_a, doc_b, inter, (na + nb - inter) AS unions
+          FROM p WHERE inter * 4 >= (na + nb - inter)
+          ORDER BY doc_a, doc_b""",
+    "dedup_ngram_jaccard_capped" ->
+      s"""WITH w0 AS (SELECT doc_id, $WordsSql AS w FROM documents),
+          s0 AS (SELECT doc_id, list_distinct($ShinglesSql) AS sset FROM w0),
+          inv AS (SELECT doc_id, len(sset) AS nsh, unnest(sset) AS sh FROM s0),
+          hot AS (SELECT sh FROM inv GROUP BY sh HAVING COUNT(*) > 8),
+          cold AS (SELECT * FROM inv WHERE sh NOT IN (SELECT sh FROM hot)),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
+              COUNT(*) AS inter
+            FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4)
           SELECT doc_a, doc_b, inter, (na + nb - inter) AS unions
           FROM p WHERE inter * 4 >= (na + nb - inter)

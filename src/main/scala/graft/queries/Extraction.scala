@@ -93,6 +93,39 @@ object Extraction {
       .orderBy(col("is_mega"), col("salt"))
   }
 
+  /** End-to-end curation composition — the "switch to this library" user
+    * story in one plan: extract the interleaved corpus → keep ok docs →
+    * concat text spans → EXACT dedup (first doc per content hash) →
+    * quality score + language ID on the extracted text → summary per
+    * (predicted language, quality decile). Deterministic (rows-only check;
+    * every stage it composes is individually oracled or golden-tested).
+    * Scale shape: one kernel stage, one dedup shuffle on md5(text), one
+    * final tiny aggregate.
+    */
+  def extractCurate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val texts = extracted(spark, dir)
+      .filter(_.failure == "")
+      .map(d => (d.doc_id,
+        d.spans.iterator.filter(_.kind == "text").map(_.text).mkString("\n")))
+      .toDF("doc_id", "text")
+      .where(length(col("text")) > 0)
+    val firstPerHash = Window.partitionBy(col("h"))
+      .orderBy(expr("cast(substring(doc_id, 4, 12) as bigint)").asc)
+    val deduped = texts
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(firstPerHash))
+      .where(col("rn") === 1)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+    TextAnalysis.withPredictedLang(TextAnalysis.withQualityCols(deduped))
+      .withColumn("quality_decile", expr("least(greatest(quality_x10k div 1000, 0L), 9L)"))
+      .groupBy(col("predicted_lang"), col("quality_decile"))
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col("text"))).as("chars"))
+      .orderBy(col("predicted_lang"), col("quality_decile"))
+  }
+
   /** Multimodal stub pipeline surfaced through the contract (rows-only:
     * the decode is a deterministic stub, not SQL-expressible).
     */
@@ -115,6 +148,7 @@ object Extraction {
     "extract_failure_codes" -> (extractFailureCodes _),
     "extract_media_passthrough" -> (extractMediaPassthrough _),
     "extract_salt_spread" -> (extractSaltSpread _),
+    "extract_curate" -> (extractCurate _),
     "media_decode_stub" -> (mediaDecode _),
     "media_frame_sample" -> (mediaFrames _)
   )

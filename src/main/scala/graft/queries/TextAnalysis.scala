@@ -33,48 +33,62 @@ object TextAnalysis {
         length(col("text")).as("n_chars"))
       .orderBy(col("doc_id"))
 
-  /** Quality scoring: punctuation / stopword / unique-word ratios and mean
-    * word length in exact x10000 fixed point, combined into a score.
+  /** Quality metric columns over (text, words) — shared by [[textQuality]]
+    * and the end-to-end curation pipeline (`Extraction.extractCurate`).
     */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def withQualityCols(df: DataFrame): DataFrame = {
     val stops = "'the','and','of','to','a','in','is','der','die','das','und','el','la','de'"
-    Tables(spark, dir, "documents")
-      .withColumn("words", expr(WordsExpr))
-      .withColumn("n_words", expr("size(words)"))
-      .select(col("doc_id"),
-        length(col("text")).as("n_chars"),
-        col("n_words"),
-        expr("aggregate(words, 0L, (a, w) -> a + length(w)) * 10000L div greatest(n_words, 1)").as("mean_wlen_x10k"),
-        expr("length(regexp_replace(text, '[A-Za-z0-9 ]', '')) * 10000L div greatest(length(text), 1)").as("punct_x10k"),
-        expr(s"size(filter(words, w -> w in ($stops))) * 10000L div greatest(n_words, 1)").as("stop_x10k"),
-        expr("size(array_distinct(words)) * 10000L div greatest(n_words, 1)").as("uniq_x10k"))
+    df.withColumn("n_words", expr("size(words)"))
+      .withColumn("mean_wlen_x10k",
+        expr("aggregate(words, 0L, (a, w) -> a + length(w)) * 10000L div greatest(n_words, 1)"))
+      .withColumn("punct_x10k",
+        expr("length(regexp_replace(text, '[A-Za-z0-9 ]', '')) * 10000L div greatest(length(text), 1)"))
+      .withColumn("stop_x10k",
+        expr(s"size(filter(words, w -> w in ($stops))) * 10000L div greatest(n_words, 1)"))
+      .withColumn("uniq_x10k",
+        expr("size(array_distinct(words)) * 10000L div greatest(n_words, 1)"))
       .withColumn("quality_x10k",
         expr("(stop_x10k * 3 + uniq_x10k * 2 + (10000 - punct_x10k) * 5) div 10"))
-      .orderBy(col("doc_id"))
   }
 
-  /** Language ID by stopword-set hits (n-gram-free heuristic; deterministic
-    * priority tiebreak en > de > es > fr).
+  /** Stopword-hit language scores + prediction over a `words` column —
+    * shared by [[textLangId]] and the curation pipeline.
     */
-  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def withPredictedLang(df: DataFrame): DataFrame = {
     val en = "'the','and','of','to','a','in','is','for','on','with'"
     val de = "'der','die','das','und','ist','von','mit','für','auf','ein'"
     val es = "'el','la','de','que','y','en','los','se','del','un'"
     val fr = "'le','la','les','et','des','un','une','du','dans','est'"
-    Tables(spark, dir, "documents")
-      .withColumn("words", expr(WordsExpr))
-      .select(col("doc_id"), col("lang").as("labeled_lang"),
-        expr(s"size(filter(words, w -> w in ($en)))").as("s_en"),
-        expr(s"size(filter(words, w -> w in ($de)))").as("s_de"),
-        expr(s"size(filter(words, w -> w in ($es)))").as("s_es"),
-        expr(s"size(filter(words, w -> w in ($fr)))").as("s_fr"))
+    df.withColumn("s_en", expr(s"size(filter(words, w -> w in ($en)))"))
+      .withColumn("s_de", expr(s"size(filter(words, w -> w in ($de)))"))
+      .withColumn("s_es", expr(s"size(filter(words, w -> w in ($es)))"))
+      .withColumn("s_fr", expr(s"size(filter(words, w -> w in ($fr)))"))
       .withColumn("predicted_lang",
         expr("""case when s_en >= greatest(s_de, s_es, s_fr) then 'en'
                      when s_de >= greatest(s_es, s_fr) then 'de'
                      when s_es >= s_fr then 'es'
                      else 'fr' end"""))
-      .orderBy(col("doc_id"))
   }
+
+  /** Quality scoring: punctuation / stopword / unique-word ratios and mean
+    * word length in exact x10000 fixed point, combined into a score.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    withQualityCols(Tables(spark, dir, "documents").withColumn("words", expr(WordsExpr)))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        col("n_words"), col("mean_wlen_x10k"), col("punct_x10k"),
+        col("stop_x10k"), col("uniq_x10k"), col("quality_x10k"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID by stopword-set hits (n-gram-free heuristic; deterministic
+    * priority tiebreak en > de > es > fr).
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    withPredictedLang(Tables(spark, dir, "documents").withColumn("words", expr(WordsExpr)))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("predicted_lang"))
+      .orderBy(col("doc_id"))
 
   /** Document fingerprinting: order-sensitive polynomial rolling hash over
     * word hashes, mod a sub-2^53 prime (no 64-bit overflow in either
