@@ -1,74 +1,130 @@
 package graft.pipeline
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for the training-data pipeline: image/audio/video as
-  * opaque binary columns with typed metadata. The actual codecs are not in
-  * this container, so decode/feature-extract are STUBS with deterministic
-  * fake outputs — but the Spark-side plumbing (schema, batched
-  * mapPartitions shape, partitioning) is real and tested, and swaps to a
-  * native decoder without touching the plan shape.
+  * opaque binary columns with typed metadata.
+  *
+  * The IMAGE path is REAL: payloads are actual PNGs and the decode stage
+  * runs the JDK's headless ImageIO (PNG is lossless, so decoded pixels —
+  * and everything derived from them — are bit-deterministic). Audio/video
+  * codecs are not in this container, so frame sampling and audio features
+  * remain deterministic STUBS — the Spark-side plumbing (schema, batched
+  * mapPartitions shape, partitioning) is identical either way and swaps to
+  * a native decoder without touching the plan shape.
   */
 object Multimodal {
+
+  java.lang.System.setProperty("java.awt.headless", "true")
 
   final case class MediaRow(
       media_ref: String,
       mime: String,
-      bytes: Array[Byte], // opaque payload
+      bytes: Array[Byte], // image/*: real PNG bytes; audio/video: opaque payload
       width: Int, height: Int, duration_ms: Int)
 
   final case class DecodedImage(
       media_ref: String,
       width: Int, height: Int, channels: Int,
-      pixel_hash: Long) // deterministic content hash of the "decoded" pixels
+      pixel_hash: Long) // rolling hash over the decoded ARGB raster
 
   final case class MediaFeature(media_ref: String, feature: Array[Float])
 
-  /** Deterministic synthetic media table (bytes derived from the ref). */
+  /** Deterministic tiny RGB image for id (pure function of id). */
+  private def synthImage(id: Long): BufferedImage = {
+    val w = 8 + (id % 24).toInt
+    val h = 8 + (id % 16).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var s = id * 0x9E3779B97F4A7C15L + 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+        img.setRGB(x, y, ((s * 0x2545F4914F6CDD1DL) >>> 40).toInt & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Deterministic synthetic media table. Image rows carry REAL encoded
+    * PNG bytes; audio/video rows carry opaque deterministic payloads.
+    */
   def synthesize(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
       val ref = s"s3://media/m$id"
-      val mime = (id % 3) match {
-        case 0 => "image/png"
-        case 1 => "audio/wav"
-        case _ => "video/mp4"
+      (id % 3) match {
+        case 0 =>
+          val img = synthImage(id)
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          MediaRow(ref, "image/png", bos.toByteArray,
+            width = img.getWidth, height = img.getHeight, duration_ms = 0)
+        case m =>
+          val mime = if (m == 1) "audio/wav" else "video/mp4"
+          val len = 256 + (id % 512).toInt
+          val bytes = new Array[Byte](len)
+          var h = id * 0x9E3779B97F4A7C15L + 1
+          var i = 0
+          while (i < len) {
+            h ^= h >>> 12; h ^= h << 25; h ^= h >>> 27
+            bytes(i) = (h * 0x2545F4914F6CDD1DL >>> 56).toByte
+            i += 1
+          }
+          MediaRow(ref, mime, bytes,
+            width = 0, height = 0, duration_ms = 1000 + (id % 60000).toInt)
       }
-      val len = 256 + (id % 512).toInt
-      val bytes = new Array[Byte](len)
-      var h = id * 0x9E3779B97F4A7C15L + 1
-      var i = 0
-      while (i < len) {
-        h ^= h >>> 12; h ^= h << 25; h ^= h >>> 27
-        bytes(i) = (h * 0x2545F4914F6CDD1DL >>> 56).toByte
-        i += 1
-      }
-      MediaRow(ref, mime, bytes,
-        width = 64 + (id % 960).toInt, height = 64 + (id % 540).toInt,
-        duration_ms = if (mime == "image/png") 0 else 1000 + (id % 60000).toInt)
     }
   }
 
-  /** STUB image decode: batched per-partition transform (the mapInPandas
-    * analog). Deterministic: "pixels" are a rolling hash of the payload.
-    * A real decoder replaces only the body of the map function.
+  /** Rolling hash over the decoded ARGB raster (row-major). */
+  private def rasterHash(img: BufferedImage): Long = {
+    var h = 1125899906842597L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        h = 31 * h + img.getRGB(x, y)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** REAL image decode: batched per-partition transform running JDK
+    * ImageIO (headless, thread-safe per call). Undecodable payloads emit a
+    * failure row (channels = 0) instead of killing the task — at corpus
+    * scale decode errors are data, not exceptions.
     */
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.filter(_.mime.startsWith("image/")).map { m =>
-        var h = 1125899906842597L
-        var i = 0
-        while (i < m.bytes.length) { h = 31 * h + (m.bytes(i) & 0xFF); i += 1 }
-        DecodedImage(m.media_ref, m.width, m.height, channels = 3, pixel_hash = h)
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(m.bytes))
+          if (img == null) DecodedImage(m.media_ref, -1, -1, 0, 0L)
+          else DecodedImage(m.media_ref, img.getWidth, img.getHeight,
+            channels = img.getColorModel.getNumComponents,
+            pixel_hash = rasterHash(img))
+        } catch {
+          case _: Exception => DecodedImage(m.media_ref, -1, -1, 0, 0L)
+        }
       }
     }
   }
 
   /** STUB frame sampling for video: every `everyMs` milliseconds → frame
-    * refs (plumbing for a real frame extractor).
+    * refs (plumbing for a real frame extractor; no video codec in the
+    * container).
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 1000): DataFrame = {
     val spark = media.sparkSession
@@ -80,26 +136,59 @@ object Multimodal {
       .toDF("media_ref", "ts_ms", "frame_ref")
   }
 
-  /** STUB feature extraction: 8-dim deterministic pseudo-embedding from the
-    * payload hash (swap for a real encoder; schema and batching stay).
+  /** Feature extraction: REAL 8-dim image features from decoded pixels
+    * (dims, mean R/G/B, row/column gradient energy, raster-hash bucket);
+    * audio/video fall back to a deterministic pseudo-embedding of the
+    * payload (STUB — no codecs in the container; schema and batching are
+    * the real shape).
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        var h = 1125899906842597L
-        var i = 0
-        while (i < m.bytes.length) { h = 31 * h + (m.bytes(i) & 0xFF); i += 1 }
-        val f = new Array[Float](8)
-        var j = 0
-        var s = h
-        while (j < 8) {
-          s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
-          f(j) = ((s * 0x2545F4914F6CDD1DL >>> 11).toDouble / (1L << 53).toDouble).toFloat
-          j += 1
+        val decoded =
+          if (m.mime.startsWith("image/"))
+            try Option(ImageIO.read(new ByteArrayInputStream(m.bytes)))
+            catch { case _: Exception => None }
+          else None
+        decoded match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var grad = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                if (x > 0) grad += math.abs((p & 0xFF) - (img.getRGB(x - 1, y) & 0xFF))
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toFloat
+            MediaFeature(m.media_ref, Array(
+              w.toFloat, h.toFloat,
+              sr / n, sg / n, sb / n,
+              grad / n,
+              (rasterHash(img) & 0xFFFF).toFloat,
+              n))
+          case None =>
+            var hsh = 1125899906842597L
+            var i = 0
+            while (i < m.bytes.length) { hsh = 31 * hsh + (m.bytes(i) & 0xFF); i += 1 }
+            val f = new Array[Float](8)
+            var j = 0
+            var s = hsh
+            while (j < 8) {
+              s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+              f(j) = ((s * 0x2545F4914F6CDD1DL >>> 11).toDouble / (1L << 53).toDouble).toFloat
+              j += 1
+            }
+            MediaFeature(m.media_ref, f)
         }
-        MediaFeature(m.media_ref, f)
       }
     }
   }

@@ -126,8 +126,9 @@ object Extraction {
       .orderBy(col("predicted_lang"), col("quality_decile"))
   }
 
-  /** Multimodal stub pipeline surfaced through the contract (rows-only:
-    * the decode is a deterministic stub, not SQL-expressible).
+  /** Multimodal pipeline surfaced through the contract (rows-only: image
+    * decode is REAL — JDK ImageIO over real PNG payloads, deterministic
+    * because PNG is lossless — but not SQL-expressible in DuckDB).
     */
   def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -149,7 +150,7 @@ object Extraction {
     "extract_media_passthrough" -> (extractMediaPassthrough _),
     "extract_salt_spread" -> (extractSaltSpread _),
     "extract_curate" -> (extractCurate _),
-    "media_decode_stub" -> (mediaDecode _),
+    "media_decode" -> (mediaDecode _),
     "media_frame_sample" -> (mediaFrames _)
   )
 

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -11,12 +13,18 @@ class MultimodalSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("media table synthesizes deterministically with binary payloads") {
+  test("media table synthesizes deterministically; image payloads are real PNGs") {
     val m1 = Multimodal.synthesize(spark, 30).collect().sortBy(_.media_ref)
     val m2 = Multimodal.synthesize(spark, 30).collect().sortBy(_.media_ref)
     assert(m1.length == 30)
     assert(m1.map(_.pixelKey) sameElements m2.map(_.pixelKey))
     assert(m1.map(_.mime).toSet == Set("image/png", "audio/wav", "video/mp4"))
+    // every image payload is a decodable PNG whose dims match the metadata
+    m1.filter(_.mime == "image/png").foreach { m =>
+      val img = ImageIO.read(new ByteArrayInputStream(m.bytes))
+      assert(img != null, m.media_ref)
+      assert(img.getWidth == m.width && img.getHeight == m.height, m.media_ref)
+    }
   }
 
   implicit class RowKey(m: Multimodal.MediaRow) {
@@ -24,14 +32,25 @@ class MultimodalSpec extends AnyFunSuite {
       (m.media_ref, m.bytes.length, m.bytes.foldLeft(1L)((a, b) => 31 * a + b))
   }
 
-  test("image decode stub: deterministic pixel hashes, images only") {
+  test("real image decode: ImageIO dims + deterministic raster hashes, images only") {
     val media = Multimodal.synthesize(spark, 30)
     val decoded = Multimodal.decodeImages(media).collect()
     assert(decoded.length == 10) // ids % 3 == 0
-    assert(decoded.forall(_.channels == 3))
+    assert(decoded.forall(_.channels == 3)) // all decodes succeed on real PNGs
+    val byRef = Multimodal.synthesize(spark, 30).collect()
+      .filter(_.mime == "image/png").map(m => m.media_ref -> m).toMap
+    decoded.foreach { d =>
+      assert(d.width == byRef(d.media_ref).width && d.height == byRef(d.media_ref).height)
+    }
     val again = Multimodal.decodeImages(Multimodal.synthesize(spark, 30)).collect()
     assert(decoded.sortBy(_.media_ref).map(_.pixel_hash)
       sameElements again.sortBy(_.media_ref).map(_.pixel_hash))
+    // corrupted payload → failure row, not a task failure
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow("s3://media/bad", "image/png",
+      Array[Byte](1, 2, 3, 4), 0, 0, 0)).toDS()
+    val badOut = Multimodal.decodeImages(bad).collect()
+    assert(badOut.length == 1 && badOut.head.channels == 0)
   }
 
   test("frame sampling plumbing: frames per duration") {
@@ -41,10 +60,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getString(2).contains("#t=")))
   }
 
-  test("feature extraction stub: 8-dim deterministic vectors") {
+  test("feature extraction: real pixel statistics for images, stub embedding otherwise") {
+    val rows = Multimodal.synthesize(spark, 12).collect().map(m => m.media_ref -> m.mime).toMap
     val f = Multimodal.extractFeatures(Multimodal.synthesize(spark, 12)).collect()
     assert(f.length == 12)
     assert(f.forall(_.feature.length == 8))
-    assert(f.forall(_.feature.forall(v => v >= 0 && v <= 1)))
+    f.foreach { mf =>
+      if (rows(mf.media_ref) == "image/png") {
+        // [w, h, meanR, meanG, meanB, grad, hashBucket, nPixels]
+        assert(mf.feature(0) >= 8 && mf.feature(1) >= 8)
+        assert(mf.feature(2) >= 0 && mf.feature(2) <= 255)
+        assert(mf.feature(7) == mf.feature(0) * mf.feature(1))
+      } else {
+        assert(mf.feature.forall(v => v >= 0 && v <= 1))
+      }
+    }
+    // deterministic
+    val f2 = Multimodal.extractFeatures(Multimodal.synthesize(spark, 12)).collect()
+    assert(f.sortBy(_.media_ref).map(_.feature.toSeq) sameElements f2.sortBy(_.media_ref).map(_.feature.toSeq))
   }
 }
