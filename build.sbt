@@ -23,6 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local-cluster[...] masters (ClusterBench) launch real executor JVMs via
+// the bundled standalone machinery, which resolves SPARK_HOME from the env.
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  // normally exported by bin/load-spark-env.sh; the in-process Worker needs
+  // it to build the executor command
+  "SPARK_SCALA_VERSION" -> "2.13")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

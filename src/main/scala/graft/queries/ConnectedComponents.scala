@@ -43,6 +43,7 @@ object ConnectedComponents {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint()
+    var nEdges = edges.count()
 
     var rounds = 0
     var converged = false
@@ -70,12 +71,14 @@ object ConnectedComponents {
         .localCheckpoint()
 
       // converged when the edge set is a fixpoint (star edges only). The
-      // count-based probes are bounded by the O(log² n) round guarantee.
+      // cheap count gate skips the set-equality job while the edge count is
+      // still moving; probes are bounded by the O(log² n) round guarantee.
+      val nOld = nEdges
       val nNew = afterSmall.count()
-      val nOld = edges.count()
-      val diff = afterSmall.union(edges).distinct().count()
-      converged = diff == nNew && diff == nOld
+      converged = nNew == nOld &&
+        afterSmall.union(edges).distinct().count() == nNew
       edges = afterSmall
+      nEdges = nNew
       rounds += 1
     }
 

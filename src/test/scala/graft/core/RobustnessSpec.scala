@@ -14,6 +14,8 @@ class RobustnessSpec extends AnyFunSuite {
     Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte),
     Array('P'.toByte, 'K'.toByte, 3.toByte, 4.toByte),
     "<!doctype html><html>".getBytes("ISO-8859-1"),
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), // image magic → media span
+    Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte),
     Array.emptyByteArray)
 
   test("random bytes after every magic prefix never escape as exceptions") {
