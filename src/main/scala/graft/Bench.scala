@@ -93,7 +93,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    var spark = session(cpus)
+    val spark = session(cpus)
 
     // warm the JIT/codegen once on a tiny slice so timings measure steady state
     SparkEntry.queries.foreach { case (_, fn) =>

@@ -82,6 +82,11 @@ object ConnectedComponents {
       rounds += 1
     }
 
+    // a non-converged exit would return non-star edges as labels — fail
+    // loudly instead of silently mislabeling components
+    require(converged,
+      s"connected components did not converge in $maxRounds large/small-star rounds")
+
     val nodes = pairs.select(col(cols(0)).cast("long").as("id"))
       .union(pairs.select(col(cols(1)).cast("long").as("id"))).distinct()
     val labeled = edges.select(col("u").as("id"), col("v").as("comp"))
