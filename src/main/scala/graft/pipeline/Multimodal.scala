@@ -53,8 +53,43 @@ object Multimodal {
     img
   }
 
+  /** Canonical 44-byte-header mono 16-bit PCM WAV with a deterministic
+    * waveform (integer triangle wave + xorshift dither — pure integer math,
+    * bit-identical everywhere).
+    */
+  private def synthWav(id: Long): (Array[Byte], Int) = {
+    val sampleRate = 8000
+    val durationMs = 40 + (id % 200).toInt // 40-240 ms → 320-1920 samples
+    val n = sampleRate * durationMs / 1000
+    val data = new Array[Byte](44 + n * 2)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    val period = 40 + (id % 60).toInt
+    var s = id * 0x9E3779B97F4A7C15L + 7
+    var i = 0
+    while (i < n) {
+      val phase = i % period
+      val tri = if (phase < period / 2) phase * 4000 / period else (period - phase) * 4000 / period
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      val dither = ((s * 0x2545F4914F6CDD1DL) >>> 56).toInt - 128
+      bb.putShort((tri - 1000 + dither).toShort)
+      i += 1
+    }
+    (data, durationMs)
+  }
+
   /** Deterministic synthetic media table. Image rows carry REAL encoded
-    * PNG bytes; audio/video rows carry opaque deterministic payloads.
+    * PNG bytes, audio rows REAL PCM WAV bytes; video rows carry opaque
+    * deterministic payloads (no container codec in this sandbox).
     */
   def synthesize(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
@@ -67,8 +102,10 @@ object Multimodal {
           ImageIO.write(img, "png", bos)
           MediaRow(ref, "image/png", bos.toByteArray,
             width = img.getWidth, height = img.getHeight, duration_ms = 0)
-        case m =>
-          val mime = if (m == 1) "audio/wav" else "video/mp4"
+        case 1 =>
+          val (wav, durMs) = synthWav(id)
+          MediaRow(ref, "audio/wav", wav, width = 0, height = 0, duration_ms = durMs)
+        case _ =>
           val len = 256 + (id % 512).toInt
           val bytes = new Array[Byte](len)
           var h = id * 0x9E3779B97F4A7C15L + 1
@@ -78,8 +115,86 @@ object Multimodal {
             bytes(i) = (h * 0x2545F4914F6CDD1DL >>> 56).toByte
             i += 1
           }
-          MediaRow(ref, mime, bytes,
+          MediaRow(ref, "video/mp4", bytes,
             width = 0, height = 0, duration_ms = 1000 + (id % 60000).toInt)
+      }
+    }
+  }
+
+  final case class DecodedAudio(
+      media_ref: String,
+      sample_rate: Int, channels: Int, n_samples: Int, duration_ms: Int,
+      rms_x100: Long, zero_crossings: Int, peak: Int)
+
+  /** Canonical RIFF/fmt/data chunk walk for 16-bit PCM WAV. */
+  private def parseWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def str4 = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+      require(str4 == "RIFF"); bb.getInt
+      require(str4 == "WAVE")
+      var sampleRate = 0
+      var channels = 0
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8 && samples == null) {
+        val chunk = str4
+        val size = bb.getInt
+        chunk match {
+          case "fmt " =>
+            val fmtEnd = bb.position() + size
+            require(bb.getShort == 1, "PCM only")
+            channels = bb.getShort
+            sampleRate = bb.getInt
+            bb.getInt; bb.getShort
+            require(bb.getShort == 16, "16-bit only")
+            bb.position(fmtEnd)
+          case "data" =>
+            val n = size / 2
+            samples = new Array[Short](n)
+            var i = 0
+            while (i < n) { samples(i) = bb.getShort; i += 1 }
+          case _ => bb.position(bb.position() + size)
+        }
+      }
+      if (samples == null || sampleRate <= 0 || channels <= 0) None
+      else Some((sampleRate, channels, samples))
+    } catch { case _: Exception => None }
+
+  /** (sumSq, zero crossings, peak) over PCM samples — integer math. */
+  private def pcmStats(samples: Array[Short]): (Long, Int, Int) = {
+    var sumSq = 0L
+    var zc = 0
+    var peak = 0
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toInt
+      sumSq += v.toLong * v
+      if (i > 0 && ((v >= 0) != (samples(i - 1) >= 0))) zc += 1
+      if (math.abs(v) > peak) peak = math.abs(v)
+      i += 1
+    }
+    (sumSq, zc, peak)
+  }
+
+  /** REAL WAV decode: chunk walk + 16-bit PCM statistics, all integer math
+    * (IEEE sqrt is exactly rounded, so the ×100 RMS floor is
+    * deterministic). Malformed payloads emit a failure row (channels = 0).
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.mime.startsWith("audio/")).map { m =>
+        parseWav(m.bytes) match {
+          case Some((sampleRate, channels, samples)) =>
+            val (sumSq, zc, peak) = pcmStats(samples)
+            val rmsX100 = (math.sqrt(sumSq.toDouble / math.max(samples.length, 1)) * 100).toLong
+            DecodedAudio(m.media_ref, sampleRate, channels,
+              samples.length / channels,
+              (samples.length.toLong / channels * 1000 / sampleRate).toInt,
+              rmsX100, zc, peak)
+          case None => DecodedAudio(m.media_ref, 0, 0, 0, 0, 0L, 0, 0)
+        }
       }
     }
   }
@@ -176,18 +291,32 @@ object Multimodal {
               (rasterHash(img) & 0xFFFF).toFloat,
               n))
           case None =>
-            var hsh = 1125899906842597L
-            var i = 0
-            while (i < m.bytes.length) { hsh = 31 * hsh + (m.bytes(i) & 0xFF); i += 1 }
-            val f = new Array[Float](8)
-            var j = 0
-            var s = hsh
-            while (j < 8) {
-              s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
-              f(j) = ((s * 0x2545F4914F6CDD1DL >>> 11).toDouble / (1L << 53).toDouble).toFloat
-              j += 1
+            val audio = if (m.mime.startsWith("audio/")) parseWav(m.bytes) else None
+            audio match {
+              case Some((sampleRate, channels, samples)) =>
+                // real PCM features: rate, channels, length, RMS, ZC rate, peak
+                val (sumSq, zc, peak) = pcmStats(samples)
+                val n = math.max(samples.length, 1).toFloat
+                MediaFeature(m.media_ref, Array(
+                  sampleRate.toFloat, channels.toFloat, samples.length.toFloat,
+                  math.sqrt(sumSq.toDouble / n).toFloat,
+                  zc / n, peak.toFloat,
+                  (samples.length.toLong * 1000 / (sampleRate.toLong * channels)).toFloat,
+                  1f))
+              case None => // video (no codec in container): deterministic stub
+                var hsh = 1125899906842597L
+                var i = 0
+                while (i < m.bytes.length) { hsh = 31 * hsh + (m.bytes(i) & 0xFF); i += 1 }
+                val f = new Array[Float](8)
+                var j = 0
+                var s = hsh
+                while (j < 8) {
+                  s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+                  f(j) = ((s * 0x2545F4914F6CDD1DL >>> 11).toDouble / (1L << 53).toDouble).toFloat
+                  j += 1
+                }
+                MediaFeature(m.media_ref, f)
             }
-            MediaFeature(m.media_ref, f)
         }
       }
     }

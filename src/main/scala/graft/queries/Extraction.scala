@@ -137,6 +137,15 @@ object Extraction {
       .toDF().orderBy(col("media_ref"))
   }
 
+  /** Real WAV decode over the synthetic media table (rows-only: PCM
+    * statistics are not DuckDB-expressible over binary payloads).
+    */
+  def mediaAudio(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
+    graft.pipeline.Multimodal.decodeAudio(media)
+      .toDF().orderBy(col("media_ref"))
+  }
+
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
     graft.pipeline.Multimodal.sampleFrames(media, everyMs = 10000)
@@ -151,6 +160,7 @@ object Extraction {
     "extract_salt_spread" -> (extractSaltSpread _),
     "extract_curate" -> (extractCurate _),
     "media_decode" -> (mediaDecode _),
+    "media_audio_decode" -> (mediaAudio _),
     "media_frame_sample" -> (mediaFrames _)
   )
 

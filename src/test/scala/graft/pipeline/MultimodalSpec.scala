@@ -60,19 +60,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getString(2).contains("#t=")))
   }
 
-  test("feature extraction: real pixel statistics for images, stub embedding otherwise") {
+  test("real WAV decode: header stats match synthesis, corrupt payload is a failure row") {
+    val media = Multimodal.synthesize(spark, 30)
+    val byRef = media.collect().filter(_.mime == "audio/wav")
+      .map(m => m.media_ref -> m).toMap
+    val decoded = Multimodal.decodeAudio(media).collect()
+    assert(decoded.length == 10) // ids % 3 == 1
+    decoded.foreach { d =>
+      val src = byRef(d.media_ref)
+      assert(d.sample_rate == 8000 && d.channels == 1, d.media_ref)
+      assert(d.duration_ms == src.duration_ms, d.media_ref)
+      assert(d.peak > 0 && d.zero_crossings > 0 && d.rms_x100 > 0)
+    }
+    val again = Multimodal.decodeAudio(Multimodal.synthesize(spark, 30)).collect()
+    assert(decoded.sortBy(_.media_ref).map(_.rms_x100)
+      sameElements again.sortBy(_.media_ref).map(_.rms_x100))
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow("s3://media/badwav", "audio/wav",
+      Array[Byte](82, 73, 70, 70, 1, 2), 0, 0, 0)).toDS()
+    val badOut = Multimodal.decodeAudio(bad).collect()
+    assert(badOut.length == 1 && badOut.head.channels == 0)
+  }
+
+  test("feature extraction: real pixel/PCM statistics; stub embedding for video only") {
     val rows = Multimodal.synthesize(spark, 12).collect().map(m => m.media_ref -> m.mime).toMap
     val f = Multimodal.extractFeatures(Multimodal.synthesize(spark, 12)).collect()
     assert(f.length == 12)
     assert(f.forall(_.feature.length == 8))
     f.foreach { mf =>
-      if (rows(mf.media_ref) == "image/png") {
-        // [w, h, meanR, meanG, meanB, grad, hashBucket, nPixels]
-        assert(mf.feature(0) >= 8 && mf.feature(1) >= 8)
-        assert(mf.feature(2) >= 0 && mf.feature(2) <= 255)
-        assert(mf.feature(7) == mf.feature(0) * mf.feature(1))
-      } else {
-        assert(mf.feature.forall(v => v >= 0 && v <= 1))
+      rows(mf.media_ref) match {
+        case "image/png" =>
+          // [w, h, meanR, meanG, meanB, grad, hashBucket, nPixels]
+          assert(mf.feature(0) >= 8 && mf.feature(1) >= 8)
+          assert(mf.feature(2) >= 0 && mf.feature(2) <= 255)
+          assert(mf.feature(7) == mf.feature(0) * mf.feature(1))
+        case "audio/wav" =>
+          // [rate, channels, nSamples, rms, zcRate, peak, durMs, 1]
+          assert(mf.feature(0) == 8000f && mf.feature(1) == 1f)
+          assert(mf.feature(3) > 0 && mf.feature(5) > 0)
+          assert(mf.feature(7) == 1f)
+        case _ =>
+          assert(mf.feature.forall(v => v >= 0 && v <= 1))
       }
     }
     // deterministic
