@@ -289,7 +289,102 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q13 shape — distribution of order counts per customer including
+    * zero-order customers: LEFT OUTER join + aggregate-of-aggregate.
+    * Scale: the outer join shuffles on custkey; the second aggregate's key
+    * space is tiny (|distinct counts|), so its shuffle is negligible.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").select(col("c_custkey"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count")) // count skips nulls → 0 rows
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q18 shape — large orders: HAVING-filtered aggregate feeding an
+    * IN-subquery (planned as a self-semi-join on the aggregate).
+    * Scale: one shuffle on orderkey for the quantity rollup; the qualifying
+    * key set is small → broadcast semi-join back against orders.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("sum_qty"))
+      .where(col("sum_qty") > lit(BigDecimal(120)).cast(D2))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        dec2(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape — "global sales opportunity": customers with above-
+    * average balance and NO orders (scalar subquery in the filter +
+    * anti-join). Scale: the scalar average is one tiny agg broadcast into
+    * the filter; the anti-join shuffles on custkey.
+    */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    // exact above-average test: bal > sum/cnt ⟺ bal·cnt > sum — avoids the
+    // engines' differing avg() result types (decimal division vs double)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(dec2(col("c_acctbal"))).as("tot"), count(lit(1)).as("cnt"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(dec2(col("c_acctbal")) * col("cnt") > col("tot"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("cseg", substring(col("c_mktsegment"), 1, 2))
+      .groupBy(col("cseg"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("cseg"))
+  }
+
+  /** Sessionization (gaps-and-islands): per-user sessions split at ≥ 30 min
+    * inactivity — lag + running flag-sum window, then per-session rollup.
+    * The batch twin of the streaming `session_window` aggregation (see
+    * `streaming.EventStream`); DuckDB oracle does the same two-window SQL.
+    * Scale: two stacked windows over one shuffle on user_id, then a tiny
+    * second aggregate — the canonical sessionization plan.
+    */
+  def qSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val evs = Tables(spark, dir, "events").select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("timestamp").cast("long") - col("prev_ts").cast("timestamp").cast("long") >= 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    evs.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts").cast("timestamp").cast("long")) -
+          min(col("ts").cast("timestamp").cast("long"))).as("span_sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("span_sec")).as("max_span_sec"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q22_global_sales" -> (q22GlobalSales _),
+    "q_sessions" -> (qSessions _),
     "q2_top_supplier" -> (q2TopSupplierPerNation _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -308,6 +403,61 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_custkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey) t
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q18_large_orders" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+         FROM orders
+         JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120) big
+           ON o_orderkey = big.l_orderkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 100""",
+    "q22_global_sales" ->
+      """WITH a AS (
+           SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, COUNT(*) AS cnt
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT substr(c_mktsegment, 1, 2) AS cseg, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer, a
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > tot
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1 ORDER BY cseg""",
+    "q_sessions" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) >= 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM e),
+         s2 AS (
+           SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM s),
+         g AS (
+           SELECT user_id, session_id, COUNT(*) AS n_events,
+             CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS span_sec
+           FROM s2 GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(max(span_sec) AS BIGINT) AS max_span_sec
+         FROM g GROUP BY user_id ORDER BY user_id""",
     "q2_top_supplier" ->
       """SELECT n_name, s_name, s_acctbal
          FROM supplier

@@ -42,6 +42,26 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gaps-and-islands sessionization agrees with Spark's built-in session_window") {
+    // qSessions (the DuckDB-oracled two-window form) must produce the same
+    // per-user session counts as the engine-native session_window — both
+    // close a session at >= 30 min of inactivity. session_window is also
+    // the streaming form (groupBy(session_window(ts, gap)) + watermark).
+    val dir = "/root/testdata/sf0.001"
+    val builtIn = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("tsec", col("ts").cast("timestamp"))
+      .groupBy(session_window(col("tsec"), "30 minutes"), col("user_id"))
+      .count()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+    val ours = graft.queries.Relational.qSessions(spark, dir)
+      .select(col("user_id"), col("n_sessions"))
+    val diff = builtIn.as("a").join(ours.as("b"), Seq("user_id"), "full_outer")
+      .where(col("a.n_sessions") =!= col("b.n_sessions") ||
+        col("a.n_sessions").isNull || col("b.n_sessions").isNull)
+      .count()
+    assert(diff == 0)
+  }
+
   test("stateful first-seen dedup emits each content hash exactly once across micro-batches") {
     // stage documents as 4 separate files so the file source delivers
     // multiple micro-batches (maxFilesPerTrigger=1) and the dedup state
