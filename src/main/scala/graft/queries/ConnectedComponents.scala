@@ -25,6 +25,60 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Size-adaptive entry point (the AQE philosophy applied to the
+    * algorithm choice): near-dup edge sets are usually tiny relative to
+    * the corpus — below `smallGraphEdges` the whole graph fits in one
+    * task, where a plain union-find finishes in ONE job instead of
+    * O(log² n) shuffle rounds with driver probes. Above it, the
+    * distributed large-star/small-star path runs. Both return identical
+    * labels (min id per component).
+    */
+  def components(pairs: DataFrame, smallGraphEdges: Long = 1L << 20): DataFrame = {
+    val cols = pairs.columns
+    val edges = pairs
+      .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    if (edges.count() <= smallGraphEdges) {
+      // label every node of the ORIGINAL pair list (a node appearing only
+      // in self-pairs has no surviving edge — it is its own component)
+      val nodes = pairs.select(col(cols(0)).cast("long").as("id"))
+        .union(pairs.select(col(cols(1)).cast("long").as("id"))).distinct()
+      nodes.join(unionFindSingleTask(edges), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    } else largeSmallStar(edges)
+  }
+
+  /** Single-task exact union-find over a small edge set (one narrow job —
+    * the coalesce(1) is the point, not a smell: the input is bounded by
+    * `smallGraphEdges`).
+    */
+  private def unionFindSingleTask(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val ks = parent.keys.toArray // snapshot: find() only rewrites values
+        ks.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "comp")
+  }
+
   /** @param pairs DataFrame with two BIGINT columns (src, dst), undirected
     *              edge list (self-loops/duplicates tolerated).
     * @return (id, comp) — one row per distinct node, comp = min id of its

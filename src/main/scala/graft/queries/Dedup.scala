@@ -173,7 +173,7 @@ object Dedup {
     val pairs = dedupNgramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .persist()
-    val labels = ConnectedComponents.largeSmallStar(pairs)
+    val labels = ConnectedComponents.components(pairs)
     val out = labels
       .groupBy(col("comp").as("component"))
       .agg(count(lit(1)).as("size_"),

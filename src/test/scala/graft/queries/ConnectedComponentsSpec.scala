@@ -27,10 +27,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
-    val got = ConnectedComponents.largeSmallStar(edges.toDF("src", "dst"))
-      .as[(Long, Long)].collect().toMap
     val expect = unionFind(edges)
-    assert(got == expect)
+    // distributed path (threshold 0 forces large/small-star)
+    val star = ConnectedComponents.components(edges.toDF("src", "dst"), smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(star == expect)
+    // small-graph path (single-task union-find)
+    val small = ConnectedComponents.components(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(small == expect)
   }
 
   test("long chain converges (the case naive propagation pays diameter rounds for)") {
