@@ -237,6 +237,51 @@ object Multimodal {
     }
   }
 
+  final case class ResizedImage(
+      media_ref: String,
+      width: Int, height: Int, // output dims
+      png: Array[Byte], pixel_hash: Long)
+
+  /** REAL image resize: decode → nearest-neighbor downscale to fit
+    * `maxDim` (aspect preserved) → re-encode PNG. Nearest-neighbor is
+    * implemented by hand (integer source-index math) so the resampled
+    * pixels are bit-deterministic across platforms — AWT's filtered
+    * scalers are not. Upscaling is never done (training pipelines
+    * normalize down, not up).
+    */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.mime.startsWith("image/")).flatMap { m =>
+        try {
+          val src = ImageIO.read(new ByteArrayInputStream(m.bytes))
+          if (src == null) None
+          else {
+            val scaleNum = math.min(maxDim, math.max(src.getWidth, src.getHeight))
+            val scaleDen = math.max(src.getWidth, src.getHeight)
+            val w = math.max(src.getWidth * scaleNum / scaleDen, 1)
+            val h = math.max(src.getHeight * scaleNum / scaleDen, 1)
+            val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              val sy = y * src.getHeight / h
+              var x = 0
+              while (x < w) {
+                out.setRGB(x, y, src.getRGB(x * src.getWidth / w, sy) & 0xFFFFFF)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", bos)
+            Some(ResizedImage(m.media_ref, w, h, bos.toByteArray, rasterHash(out)))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   /** STUB frame sampling for video: every `everyMs` milliseconds → frame
     * refs (plumbing for a real frame extractor; no video codec in the
     * container).

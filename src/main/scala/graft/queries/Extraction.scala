@@ -146,6 +146,14 @@ object Extraction {
       .toDF().orderBy(col("media_ref"))
   }
 
+  /** Real nearest-neighbor resize over the media table (rows-only). */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
+    graft.pipeline.Multimodal.resizeImages(media, maxDim = 12)
+      .toDF().select(col("media_ref"), col("width"), col("height"), col("pixel_hash"))
+      .orderBy(col("media_ref"))
+  }
+
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
     graft.pipeline.Multimodal.sampleFrames(media, everyMs = 10000)
@@ -161,6 +169,7 @@ object Extraction {
     "extract_curate" -> (extractCurate _),
     "media_decode" -> (mediaDecode _),
     "media_audio_decode" -> (mediaAudio _),
+    "media_resize" -> (mediaResize _),
     "media_frame_sample" -> (mediaFrames _)
   )
 

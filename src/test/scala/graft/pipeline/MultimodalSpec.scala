@@ -53,6 +53,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(badOut.length == 1 && badOut.head.channels == 0)
   }
 
+  test("real resize: aspect-preserving nearest-neighbor, deterministic, round-trippable") {
+    val media = Multimodal.synthesize(spark, 30)
+    val resized = Multimodal.resizeImages(media, maxDim = 10).collect()
+    assert(resized.length == 10)
+    val srcByRef = media.collect().filter(_.mime == "image/png").map(m => m.media_ref -> m).toMap
+    resized.foreach { r =>
+      val src = srcByRef(r.media_ref)
+      assert(math.max(r.width, r.height) <= 10 ||
+        math.max(src.width, src.height) <= 10, r.media_ref) // fits, unless source already smaller
+      assert(r.width >= 1 && r.height >= 1)
+      // output is itself a decodable PNG with the claimed dims
+      val back = ImageIO.read(new ByteArrayInputStream(r.png))
+      assert(back.getWidth == r.width && back.getHeight == r.height)
+      // corners are exact source samples (nearest-neighbor at index 0 maps to source 0)
+      val srcImg = ImageIO.read(new ByteArrayInputStream(src.bytes))
+      assert((back.getRGB(0, 0) & 0xFFFFFF) == (srcImg.getRGB(0, 0) & 0xFFFFFF))
+    }
+    val again = Multimodal.resizeImages(Multimodal.synthesize(spark, 30), maxDim = 10).collect()
+    assert(resized.sortBy(_.media_ref).map(_.pixel_hash)
+      sameElements again.sortBy(_.media_ref).map(_.pixel_hash))
+  }
+
   test("frame sampling plumbing: frames per duration") {
     val media = Multimodal.synthesize(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyMs = 10000).collect()
