@@ -29,14 +29,25 @@ object OneBench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
+    // total allocated bytes across live threads: constant alloc/doc with
+    // rising CPU/doc isolates cycle-stretching (bandwidth/LLC contention)
+    // from actual extra work
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    def allocBytes: Long = {
+      val ids = tmx.getAllThreadIds
+      tmx.getThreadAllocatedBytes(ids).filter(_ > 0).sum
+    }
     val cpu0 = osBean.getProcessCpuTime
     val gc0 = gcMs
+    val alloc0 = allocBytes
     val t0 = System.nanoTime()
     val (sec, ok) = Bench.extractionBench(spark, nDocs, cores)
     val wall = (System.nanoTime() - t0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
     val gcSec = (gcMs - gc0) / 1e3
-    println(f"""{"bench":"one","docs":$nDocs,"cores":$cores,"docs_per_sec":${nDocs / sec}%.0f,"ok":$ok,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"cpu_util_cores":${cpuSec / wall}%.1f,"gc_sec":$gcSec%.2f}""")
+    val allocGb = (allocBytes - alloc0) / 1e9
+    println(f"""{"bench":"one","docs":$nDocs,"cores":$cores,"docs_per_sec":${nDocs / sec}%.0f,"ok":$ok,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"cpu_util_cores":${cpuSec / wall}%.1f,"gc_sec":$gcSec%.2f,"alloc_gb":$allocGb%.2f,"alloc_kb_per_doc":${allocGb * 1e6 / nDocs}%.1f}""")
     spark.stop()
   }
 }
