@@ -34,12 +34,18 @@ object Probe {
     def corpus = spark.read.parquet(corpusPath).as[Doc]
     val cfg = ExtractPipeline.PipelineConfig(numPartitions = cores * 4, megaDocBytes = 16 * 1024)
 
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    def allocBytes: Long =
+      tmx.getThreadAllocatedBytes(tmx.getAllThreadIds).filter(_ > 0).sum
     def time(name: String)(f: => Unit): Unit = {
       f // warm
+      val a0 = allocBytes
       val t0 = System.nanoTime()
       f
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE $name%-28s ${s}%8.2f s   ${nDocs / s}%9.0f docs/s")
+      val kbDoc = (allocBytes - a0) / 1e3 / nDocs
+      println(f"PROBE $name%-28s ${s}%8.2f s   ${nDocs / s}%9.0f docs/s   $kbDoc%7.1f KB/doc")
     }
 
     time("scan_count") { corpus.count(): Unit }
