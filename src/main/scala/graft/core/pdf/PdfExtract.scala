@@ -632,8 +632,8 @@ object PdfExtract {
     val (page, res) = f.pages(pageIdx)
     val content = f.pageContent(page)
     if (content.isEmpty) return None
-    val fontMap = buildFontMap(f, res)
-    val xobjMap = buildXObjMap(f, res)
+    val (fontMap, xobjMap) = f.resourceMapCache.getOrElseUpdate(res,
+      (buildFontMap(f, res), buildXObjMap(f, res)))
     Some(extractContentText(content, fontMap, xobjMap))
   }
 

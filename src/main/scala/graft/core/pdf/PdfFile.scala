@@ -23,6 +23,16 @@ final class PdfFile(data: Array[Byte]) {
   private val objCache = mutable.HashMap[Int, PdfObj]()
   private val objStmCache = mutable.HashMap[Int, Array[(Int, PdfObj)]]()
 
+  /** Per-resources-dict font/XObject maps: pages of one document usually
+    * share a resources dict, and rebuilding the maps per page dominated the
+    * PDF kernel's allocation (252 KB/doc measured round 2 — fonts re-parse
+    * ToUnicode CMaps and width arrays every page). Keyed structurally
+    * (PdfDict is a case class), so distinct per-page resources still build
+    * their own maps.
+    */
+  private[pdf] val resourceMapCache =
+    mutable.HashMap[PdfDict, (Map[String, PdfText.PdfFont], Map[String, PdfExtract.XObj])]()
+
   val headerVersion: String = {
     val head = new String(data, 0, math.min(16, data.length), "ISO-8859-1")
     if (head.startsWith("%PDF-")) head.drop(5).takeWhile(c => c.isDigit || c == '.') else "1.4"
