@@ -181,6 +181,24 @@ object VectorExpressions {
     out
   }
 
+  /** Integer quantization of a float/double vector: round(x·1000) with
+    * HALF_UP (away-from-zero) ties — exactly Spark's `round()` and DuckDB's
+    * `round()` semantics, so the quantized values match the oracle SQL
+    * bit-for-bit. One pass; the HOF `transform` it replaces interpreted a
+    * lambda per element.
+    */
+  def quantizeI64(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble * 1000.0
+      out(i) = if (v >= 0) math.floor(v + 0.5).toLong else -math.floor(-v + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ------------------------------------------------------------ expressions
 
   /** dot_i64(array<bigint>, array<bigint>) → bigint */
@@ -232,6 +250,18 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** quantize_i64(array<float>) → array<bigint> */
+  case class QuantizeI64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(a: Any): Any = quantizeI64(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorExpressions.quantizeI64($a);")
+    override protected def withNewChildInternal(c: Expression): QuantizeI64 =
+      copy(child = c)
+  }
+
   /** simhash32(text) → bigint */
   case class Simhash32(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -252,4 +282,5 @@ object VectorExpressions {
   def h31(arr: Column): Column = toColumn(H31(toExpr(arr)))
   def minhash_sigs(sh: Column): Column = toColumn(MinhashSigs(toExpr(sh)))
   def simhash32(text: Column): Column = toColumn(Simhash32(toExpr(text)))
+  def quantize_i64(a: Column): Column = toColumn(QuantizeI64(toExpr(a)))
 }

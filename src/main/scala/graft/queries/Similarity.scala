@@ -32,11 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantized vector + squared norm (norm via the codegen'd dot). */
+  /** Quantized vector + squared norm — both codegen'd one-pass kernels
+    * (the `transform` HOF this replaces interpreted a lambda per element;
+    * quantize_i64 reproduces round()'s HALF_UP ties exactly, parity-tested
+    * against the HOF on the real table and random floats).
+    */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("q"))
+        graft.functions.VectorExpressions.quantize_i64(col("embedding")).as("q"))
       .withColumn("nrm", dot_i64(col("q"), col("q")))
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */

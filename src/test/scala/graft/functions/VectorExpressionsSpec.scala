@@ -111,6 +111,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan) // codegen'd stage
   }
 
+  test("quantize_i64 matches transform/round HOF on the real embeddings and edge floats") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val hofQ = "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+    val bad = real
+      .withColumn("expect", expr(hofQ))
+      .withColumn("got", quantize_i64(col("embedding")))
+      .where(not(col("expect") === col("got"))).count()
+    assert(bad == 0)
+    // tie and sign edges
+    val edges = Seq(Seq(0.0125f, -0.0125f, 0.0005f, -0.0005f, 0.4999999f, -0.53f, 0f))
+      .toDF("embedding")
+    val e = edges.withColumn("expect", expr(hofQ))
+      .withColumn("got", quantize_i64(col("embedding")))
+    assert(e.where(not(col("expect") === col("got"))).count() == 0)
+    // random floats
+    val rnd = new scala.util.Random(5)
+    val rand = Seq.fill(200)(Seq.fill(16)(rnd.nextFloat() * 1.2f - 0.6f)).toDF("embedding")
+    assert(rand.withColumn("expect", expr(hofQ))
+      .withColumn("got", quantize_i64(col("embedding")))
+      .where(not(col("expect") === col("got"))).count() == 0)
+  }
+
   test("hyperplane literals match the per-row md5 SQL derivation") {
     import graft.queries.Similarity
     val h0 = Similarity.hyperplane(0, 4)
