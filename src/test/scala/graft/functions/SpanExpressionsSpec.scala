@@ -62,6 +62,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       import s2.implicits._
       val out = s2.sql("select dehyphenate('Stra-\nße\n', false) as d").as[String].head()
       assert(out == "Straße\n")
+      // vector kernels are SQL-reachable through the same extension
+      assert(s2.sql("select dot_i64(array(1L,2L,3L), array(4L,5L,6L))").as[Long].head() == 32L)
+      assert(s2.sql("select simhash32('a b c')").as[Long].head() ==
+        graft.functions.VectorExpressions.simhash32(
+          org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+      assert(s2.sql("select quantize_i64(array(cast(0.0125 as float)))").as[Seq[Long]].head() == Seq(13L))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
