@@ -199,6 +199,24 @@ object VectorExpressions {
     new GenericArrayData(out)
   }
 
+  /** Order-sensitive document fingerprint: rolling polynomial hash over
+    * per-word md5 60-bit hashes, `(acc·131 + h) mod 9007199254740881`
+    * (sub-2^53 prime; acc·131 + h < 2^62, no overflow) — exactly the
+    * aggregate-fold formula of the round-1 oracle, one pass.
+    */
+  def fingerprint64(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val (starts, ends, nWords) = wordRanges(bytes)
+    val p = 9007199254740881L
+    var acc = 0L
+    var w = 0
+    while (w < nWords) {
+      acc = (acc * 131 + md5H60(bytes, starts(w), ends(w) - starts(w))) % p
+      w += 1
+    }
+    acc
+  }
+
   // ------------------------------------------------------------ expressions
 
   /** dot_i64(array<bigint>, array<bigint>) → bigint */
@@ -250,6 +268,18 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** fingerprint64(text) → bigint */
+  case class Fingerprint64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(t: Any): Any = fingerprint64(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.VectorExpressions.fingerprint64($t);")
+    override protected def withNewChildInternal(c: Expression): Fingerprint64 =
+      copy(child = c)
+  }
+
   /** quantize_i64(array<float>) → array<bigint> */
   case class QuantizeI64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -283,4 +313,5 @@ object VectorExpressions {
   def minhash_sigs(sh: Column): Column = toColumn(MinhashSigs(toExpr(sh)))
   def simhash32(text: Column): Column = toColumn(Simhash32(toExpr(text)))
   def quantize_i64(a: Column): Column = toColumn(QuantizeI64(toExpr(a)))
+  def fingerprint64(text: Column): Column = toColumn(Fingerprint64(toExpr(text)))
 }

@@ -96,10 +96,9 @@ object TextAnalysis {
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .withColumn("hs", expr(s"transform($WordsExpr, w -> ${whSpark("w")})"))
       .select(col("doc_id"),
-        expr("aggregate(hs, 0L, (acc, x) -> (acc * 131 + x) % 9007199254740881L)").as("fingerprint"),
-        expr("size(hs)").as("n_words"))
+        graft.functions.VectorExpressions.fingerprint64(col("text")).as("fingerprint"),
+        expr(s"size($WordsExpr)").as("n_words"))
       .orderBy(col("doc_id"))
 
   /** Vocabulary statistics per source: exact distinct words (the corpus-

@@ -74,6 +74,13 @@ class VectorKernelProps extends Properties("VectorKernels") {
       VectorExpressions.simhash32(UTF8String.fromString(text)) == expect
     }
 
+  property("fingerprint64 == rolling-hash fold reference") =
+    Prop.forAll(textGen) { text =>
+      val expect = refWords(text).map(refH60)
+        .foldLeft(0L)((acc, h) => (acc * 131 + h) % 9007199254740881L)
+      VectorExpressions.fingerprint64(UTF8String.fromString(text)) == expect
+    }
+
   property("dotI64 == zip-multiply-sum") =
     Prop.forAll(Gen.listOf(Gen.chooseNum(-1000000L, 1000000L)),
       Gen.listOf(Gen.chooseNum(-1000000L, 1000000L))) { (a, b) =>
