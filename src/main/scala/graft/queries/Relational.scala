@@ -380,7 +380,33 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** TPC-H Q14 shape — promotion revenue share per ship month: conditional
+    * aggregate over a part join. The numerator/denominator are exact
+    * DECIMALs; the final ratio is one double division of identical exact
+    * inputs (IEEE division is exactly rounded → engine-identical).
+    * Scale: part side prunes to 2 columns and broadcasts under the
+    * threshold / shuffle-joins on partkey beyond; one tiny month-grain agg.
+    */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+    val part = Tables(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    val disc = dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D2) - dec2(col("l_discount")))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(BigDecimal(0)).cast(D2)))
+          .cast("double").as("promo_revenue"),
+        sum(disc).cast("double").as("total_revenue"))
+      .withColumn("promo_pct",
+        col("promo_revenue") * lit(100.0) / col("total_revenue"))
+      .orderBy(col("ship_month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_promo_effect" -> (q14PromoEffect _),
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q22_global_sales" -> (q22GlobalSales _),
@@ -403,6 +429,20 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q14_promo_effect" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY ship_month""",
     "q13_customer_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
            SELECT c_custkey, COUNT(o_custkey) AS c_count
