@@ -115,18 +115,18 @@ object DocBin {
     var off = start
     while (off < end && buf(off) == 0x01) { // skip Prc blocks
       off += 1
-      if (off + 2 > end) throw new NotWordException("truncated Prc header")
+      if (off + 2 > end) throw new NotWordException("Prc block ends past the Clx")
       off += 2 + le16(buf, off)
     }
     if (off >= end || buf(off) != 0x02)
-      throw new NotWordException("expected Pcdt (clxt=0x02)")
+      throw new NotWordException("Clx has no piece-table block after the Prc runs")
     off += 1
-    if (off + 4 > end) throw new NotWordException("Pcdt truncated before lcb")
+    if (off + 4 > end) throw new NotWordException("piece-table block too short for its length field")
     val lcb = le32(buf, off).toInt
     off += 4
-    if (off + lcb > end) throw new NotWordException("PlcPcd extends beyond Clx")
+    if (off + lcb > end) throw new NotWordException("piece table runs past the end of the Clx")
     if (lcb < 4 || (lcb - 4) % 12 != 0)
-      throw new NotWordException(s"PlcPcd size $lcb inconsistent with 12n+4")
+      throw new NotWordException(s"piece-table byte length $lcb is not of the form 12n+4")
     val n = (lcb - 4) / 12
     if (n > MaxPieceCount) throw new LimitException("piece count")
     val cps = (0 to n).map(i => le32(buf, off + i * 4))

@@ -222,11 +222,22 @@ object Extractor {
                   val txt = txtOpt.getOrElse("")
                   val hasImages = graft.core.pdf.PdfExtract.pageHasImages(pf, page)
                   // OCR decision rule (misc.go:38-40): short page with images →
-                  // surface the page's image as a media span before the text
-                  // (tesseract is out of scope at corpus scale; media_ref is opaque)
+                  // surface the page's images as media spans before the text,
+                  // one span per decodable raster (pdf_images.go:30-67 —
+                  // thumbnails excluded by construction; see PdfImages). The
+                  // refs are dict-only enumeration — bytes materialize in the
+                  // downstream media stage, never in the text kernel. Pages
+                  // whose images are all unsupported keep the opaque page ref
+                  // so the OCR trigger is still visible downstream.
                   if (txt.length < cfg.ocrTriggerChars && hasImages && cfg.ocrEnabled) {
-                    out += Span("media", "", s"pdf:$docId/page$page/images", offset)
-                    offset += 1
+                    val imgs = graft.core.pdf.PdfImages.pageImageRefs(pf, page)
+                    if (imgs.isEmpty) {
+                      out += Span("media", "", s"pdf:$docId/page$page/images", offset)
+                      offset += 1
+                    } else imgs.foreach { im =>
+                      out += Span("media", "", s"pdf:$docId/page$page/${im.name}.${im.ext}", offset)
+                      offset += 1
+                    }
                   }
                   // page text + '\n' separator (native_pdf.go:112-113); pages with
                   // no content contribute nothing (StreamText skips them)
@@ -256,7 +267,7 @@ object Extractor {
     else Result(out.result(), metadata, "", pendingHyphen, sawContent, firstContentCp)
   }
 
-  private def decodePayload(text: String): Array[Byte] =
+  private[graft] def decodePayload(text: String): Array[Byte] =
     try Base64.getDecoder.decode(text)
     catch { case _: IllegalArgumentException => text.getBytes("ISO-8859-1") }
 

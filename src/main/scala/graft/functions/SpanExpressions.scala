@@ -3,9 +3,10 @@ package graft.functions
 import graft.core.Dehyphenator
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the extraction functions that are useful
@@ -26,7 +27,8 @@ object SpanExpressions {
 
   /** dehyphenate(text, removeNewlines) — the T1/T2 kernel as a SQL scalar. */
   case class Dehyphenate(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType, BooleanType)
     override def dataType: DataType = StringType
     override def nullable: Boolean = left.nullable
 
@@ -42,7 +44,9 @@ object SpanExpressions {
   }
 
   /** strip_boilerplate(html) — the north-star block classifier as a scalar. */
-  case class StripBoilerplate(child: Expression) extends UnaryExpression {
+  case class StripBoilerplate(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
     override def dataType: DataType = StringType
     override def nullable: Boolean = child.nullable
 
@@ -80,6 +84,16 @@ object SpanExpressions {
   case class SpanByteCost(child: Expression) extends UnaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.LongType
     override def nullable: Boolean = child.nullable
+    // the eval reads struct fields 1 and 2 as strings by ordinal — anything
+    // else must be an analysis error, not a garbage read on UnsafeArrayData
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 4 &&
+          s(1).dataType == StringType && s(2).dataType == StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "span_byte_cost expects array<struct<kind:string,text:string," +
+          s"media_ref:string,offset:int>>, got ${other.simpleString}")
+    }
     override def nullSafeEval(spans: Any): Any =
       spanByteCost(spans.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -219,8 +219,18 @@ object VectorExpressions {
 
   // ------------------------------------------------------------ expressions
 
+  // Every expression declares ImplicitCastInputTypes: these are registered
+  // as SQL functions (GraftExtensions), where a user's natural literal —
+  // `quantize_i64(array(0.1, 0.2))` is array<double> — would otherwise be
+  // read with the wrong accessor width on UnsafeArrayData and silently
+  // return garbage. Declared input types make Catalyst insert the cast or
+  // reject the call at analysis time.
+
   /** dot_i64(array<bigint>, array<bigint>) → bigint */
-  case class DotI64(left: Expression, right: Expression) extends BinaryExpression {
+  case class DotI64(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullable: Boolean = left.nullable || right.nullable
     override def nullSafeEval(a: Any, b: Any): Any =
@@ -233,7 +243,9 @@ object VectorExpressions {
   }
 
   /** shingles3(text) → array<string> */
-  case class Shingles3(child: Expression) extends UnaryExpression {
+  case class Shingles3(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override def nullSafeEval(t: Any): Any = shingles3(t.asInstanceOf[UTF8String])
@@ -245,7 +257,9 @@ object VectorExpressions {
   }
 
   /** h31(array<string>) → array<bigint> */
-  case class H31(child: Expression) extends UnaryExpression {
+  case class H31(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override def nullSafeEval(a: Any): Any = h31(a.asInstanceOf[ArrayData])
@@ -257,7 +271,9 @@ object VectorExpressions {
   }
 
   /** minhash_sigs(array<bigint>) → array<bigint> (length 8) */
-  case class MinhashSigs(child: Expression) extends UnaryExpression {
+  case class MinhashSigs(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override def nullSafeEval(a: Any): Any = minhashSigs(a.asInstanceOf[ArrayData])
@@ -269,7 +285,9 @@ object VectorExpressions {
   }
 
   /** fingerprint64(text) → bigint */
-  case class Fingerprint64(child: Expression) extends UnaryExpression {
+  case class Fingerprint64(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
     override def nullSafeEval(t: Any): Any = fingerprint64(t.asInstanceOf[UTF8String])
@@ -281,7 +299,9 @@ object VectorExpressions {
   }
 
   /** quantize_i64(array<float>) → array<bigint> */
-  case class QuantizeI64(child: Expression) extends UnaryExpression {
+  case class QuantizeI64(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override def nullSafeEval(a: Any): Any = quantizeI64(a.asInstanceOf[ArrayData])
@@ -293,7 +313,9 @@ object VectorExpressions {
   }
 
   /** simhash32(text) → bigint */
-  case class Simhash32(child: Expression) extends UnaryExpression {
+  case class Simhash32(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
     override def nullSafeEval(t: Any): Any = simhash32(t.asInstanceOf[UTF8String])

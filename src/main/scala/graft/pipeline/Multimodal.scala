@@ -139,9 +139,12 @@ object Multimodal {
       while (bb.remaining() >= 8 && samples == null) {
         val chunk = str4
         val size = bb.getInt
+        // RIFF word alignment: chunks are padded to even byte counts, so
+        // skipping/closing an odd-sized chunk must advance size + 1
+        val skip = size + (size & 1)
         chunk match {
           case "fmt " =>
-            val fmtEnd = bb.position() + size
+            val fmtEnd = bb.position() + skip
             require(bb.getShort == 1, "PCM only")
             channels = bb.getShort
             sampleRate = bb.getInt
@@ -153,7 +156,7 @@ object Multimodal {
             samples = new Array[Short](n)
             var i = 0
             while (i < n) { samples(i) = bb.getShort; i += 1 }
-          case _ => bb.position(bb.position() + size)
+          case _ => bb.position(bb.position() + skip)
         }
       }
       if (samples == null || sampleRate <= 0 || channels <= 0) None
@@ -278,6 +281,38 @@ object Multimodal {
             Some(ResizedImage(m.media_ref, w, h, bos.toByteArray, rasterHash(out)))
           }
         } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** Materialize PDF-embedded rasters as MediaRows — the media side of the
+    * OCR path (O2): one row per decodable image XObject, `media_ref`
+    * matching the extraction kernel's span refs
+    * (`pdf:<doc>/page<N>/<name>.<ext>`, Extractor's OCR-trigger branch), so
+    * an equi-join on media_ref against extracted media spans yields exactly
+    * the OCR-triggered payloads. Byte materialization happens HERE, not in
+    * the text kernel — at 100 TB most rasters are never OCR'd, and the join
+    * prunes them before decode cost matters (reference behavior:
+    * pdf_images.go:30-67 extracts page images only when the OCR rule fires).
+    */
+  def pdfMediaRows(docs: Dataset[Doc]): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.flatMap { d =>
+        d.spans.iterator
+          .filter(s => s.kind == "pdf" || s.kind == "bin")
+          .flatMap { s =>
+            val payload = graft.core.Extractor.decodePayload(s.text)
+            if (graft.core.Extractor.sniff(payload) != "pdf") Iterator.empty
+            else try {
+              graft.core.pdf.PdfImages.extractAll(payload).iterator.map {
+                case (p, name, ext, mime, bytes) =>
+                  MediaRow(s"pdf:${d.doc_id}/page$p/$name.$ext", mime, bytes,
+                    width = 0, height = 0, duration_ms = 0)
+              }
+            } catch { case _: Exception => Iterator.empty }
+          }
       }
     }
   }

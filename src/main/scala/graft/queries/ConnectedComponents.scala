@@ -48,7 +48,10 @@ object ConnectedComponents {
         .union(pairs.select(col(cols(1)).cast("long").as("id"))).distinct()
       nodes.join(unionFindSingleTask(edges), Seq("id"), "left")
         .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    } else largeSmallStar(edges)
+    } else largeSmallStar(pairs) // NOT `edges`: largeSmallStar builds its
+    // node set from its input, and `edges` has self-loops filtered out — a
+    // node appearing only in self-pairs must still be labeled comp = id,
+    // exactly as the small branch labels it
   }
 
   /** Single-task exact union-find over a small edge set (one narrow job —

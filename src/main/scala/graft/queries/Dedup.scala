@@ -51,10 +51,17 @@ object Dedup {
     * on the band value — the scalable inverted-index shape. The two band
     * columns flow through ONE explode (round 1 built a 2-branch union that,
     * combined with the self-join, recomputed the signature subtree 4×).
+    * The band frame is lazily localCheckpoint'd so the scan→shingles→minhash
+    * subtree is computed ONCE and shared by both join sides (it appeared
+    * once per side before — a 2× scan multiplier that is real money at
+    * 100 TB); blocks are task-local and cleaned when the RDD is GC'd. At
+    * cluster scale swap in `.persist()` + explicit unpersist (or reliable
+    * checkpoint) for executor-loss tolerance.
     */
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashSigBase(spark, dir)
       .select(col("doc_id"), explode(array(col("band0"), col("band1"))).as("band"))
+      .localCheckpoint(eager = false)
     val a = bands.toDF("doc_a", "band")
     val b = bands.toDF("doc_b", "band")
     a.join(b, "band")
@@ -90,6 +97,7 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
         .as(Seq("band_idx", "band_val")))
+      .localCheckpoint(eager = false) // one simhash pass shared by both join sides
     val a = bands.toDF("doc_a", "sim_a", "band_idx", "band_val")
     val b = bands.toDF("doc_b", "sim_b", "band_idx", "band_val")
     a.join(b, Seq("band_idx", "band_val"))
@@ -121,6 +129,7 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val inv = shingleSets(spark, dir)
       .select(col("doc_id"), col("nsh"), explode(col("sset")).as("sh"))
+      .localCheckpoint(eager = false) // one shingle pass shared by both join sides
     val a = inv.toDF("doc_a", "na", "sh")
     val b = inv.toDF("doc_b", "nb", "sh")
     a.join(b, "sh")
@@ -146,6 +155,7 @@ object Dedup {
       maxDf: Long = 8L): DataFrame = {
     val inv = shingleSets(spark, dir)
       .select(col("doc_id"), col("nsh"), explode(col("sset")).as("sh"))
+      .localCheckpoint(eager = false) // shared by DF count + both join sides
     val hot = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
       .select(col("sh"))

@@ -28,12 +28,55 @@ object Extraction {
     ExtractPipeline.extract(corpus, DemoCfg)
   }
 
+  // ── extraction-envelope oracle ────────────────────────────────────────────
+  // The interleaved corpus never materializes as one of the sf parquet
+  // tables, so the DuckDB oracle can't recompute the envelope from a view.
+  // Instead the generator writes a per-doc EXPECTATION table to a
+  // deterministic tmp path: each row is the single-doc, unsalted kernel run
+  // (graft.core.Extractor — golden-tested against the reference's own
+  // constants under `sbt -batch test`). The oracle SQL reads that parquet
+  // directly, so the DuckDB compare verifies the DISTRIBUTED pipeline
+  // (salting, chunk merge, shuffle, regroup) against the sequential kernel —
+  // exactly the layer the rows-only check couldn't see. Bump the version
+  // token whenever generator or kernel semantics change (stale /tmp files).
+  private val ExpectationVersion = "r3"
+
+  private def expectedPathForSize(n: Long): String =
+    s"${sys.props("java.io.tmpdir")}/graft-expected-$ExpectationVersion-$n"
+
+  /** Write the expectation parquet for this sf dir if absent (idempotent;
+    * Bench calls it untimed so contract-query timings stay pure).
+    */
+  def ensureExpectation(spark: SparkSession, dir: String): String = synchronized {
+    val path = expectedPathForSize(corpusSize(dir))
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      import spark.implicits._
+      SynthCorpus.generate(spark, corpusSize(dir), seed = 42L)
+        .map { d =>
+          val sorted = d.spans.sortBy(_.offset)
+          val r = graft.core.Extractor.extract(d.doc_id,
+            sorted.map(s => graft.core.Extractor.Span(s.kind, s.text, s.media_ref, s.offset)),
+            DemoCfg.extractor)
+          (d.doc_id, r.spans.size.toLong,
+            r.spans.iterator.map(_.text.length.toLong).sum,
+            r.spans.count(_.kind == "media").toLong,
+            r.failure,
+            sorted.filter(_.kind == "media").map(_.media_ref).mkString("|"),
+            r.spans.filter(_.kind == "media").map(_.mediaRef).mkString("|"))
+        }
+        .toDF("doc_id", "n_spans", "n_chars", "n_media", "failure", "in_refs", "out_refs")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   /** Flagship: full extraction, one summary row per doc, deterministic
     * values (span counts, char counts, failure codes). Rows-only check from
     * the driver; span-level equality runs under `sbt -batch test`.
     */
   def extractPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    ensureExpectation(spark, dir)
     extracted(spark, dir)
       .map(d => (d.doc_id, d.spans.size,
         d.spans.iterator.map(_.text.length.toLong).sum,
@@ -48,6 +91,7 @@ object Extraction {
     */
   def extractFailureCodes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    ensureExpectation(spark, dir)
     extracted(spark, dir)
       .map(d => (if (d.failure.isEmpty) "ok" else d.failure, 1L))
       .toDF("code", "one")
@@ -64,6 +108,7 @@ object Extraction {
     */
   def extractMediaPassthrough(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    ensureExpectation(spark, dir)
     val corpus = SynthCorpus.generate(spark, corpusSize(dir), seed = 42L)
     val inputRefs = corpus
       .map(d => (d.doc_id, d.spans.sortBy(_.offset).filter(_.kind == "media").map(_.media_ref).mkString("|")))
@@ -173,7 +218,24 @@ object Extraction {
     "media_frame_sample" -> (mediaFrames _)
   )
 
-  // Non-SQL-expressible: the driver records rows-only checks; span-level
-  // correctness is enforced by ScalaTest golden/property suites.
-  val oracle: Map[String, String] = Map()
+  // The correctness gate runs at sf0.01 (2000 docs) — the oracle SQL bakes
+  // that path; the queries write it via ensureExpectation before the driver's
+  // DuckDB ever runs. Remaining entries (salt spread, media decode paths)
+  // are genuinely non-SQL-expressible and stay rows-only with ScalaTest
+  // golden/property backing.
+  val oracle: Map[String, String] = {
+    val exp = s"'${expectedPathForSize(2000L)}/*.parquet'"
+    Map(
+      "extract_pipeline" ->
+        s"""SELECT doc_id, n_spans, n_chars, n_media, failure
+            FROM $exp ORDER BY CAST(substring(doc_id, 4, 12) AS BIGINT)""",
+      "extract_failure_codes" ->
+        s"""SELECT CASE WHEN failure = '' THEN 'ok' ELSE failure END AS code,
+              COUNT(*) AS docs
+            FROM $exp GROUP BY 1 ORDER BY code""",
+      "extract_media_passthrough" ->
+        s"""SELECT (in_refs = out_refs) AS refs_preserved, COUNT(*) AS docs
+            FROM $exp WHERE failure = '' GROUP BY 1 ORDER BY 1"""
+    )
+  }
 }

@@ -46,7 +46,8 @@ object Similarity {
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def knnBruteforce(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = quantized(spark, dir)
+    // query + corpus sides both derive from the quantized scan — share it
+    val v = quantized(spark, dir).localCheckpoint(eager = false)
     val queries = v.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("na"))
       .where(col("query_id") < 10)
     val corpus = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nrm").as("nb"))
@@ -68,7 +69,8 @@ object Similarity {
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = quantized(spark, dir)
+    // centroid, assignment, and probe branches all read the quantized scan
+    val v = quantized(spark, dir).localCheckpoint(eager = false)
     val centroids = v.where(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nb"))
 
@@ -192,7 +194,11 @@ object Similarity {
     * threshold, shuffled-hash beyond).
     */
   def dedupEmbeddingCosineLsh(spark: SparkSession, dir: String): DataFrame = {
-    val v = quantized(spark, dir)
+    // the quantized frame feeds THREE plan branches (bucket explode + both
+    // verify sides) — lazily localCheckpoint it so the scan+quantize runs
+    // once, not 3× (blocks are cleaned when the RDD is GC'd; at cluster
+    // scale use .persist() + unpersist for executor-loss tolerance)
+    val v = quantized(spark, dir).localCheckpoint(eager = false)
     val buckets = (0 until LshTables).map { t =>
       (0 until LshBandPlanes).map { j =>
         val p = t * LshBandPlanes + j
@@ -207,8 +213,8 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     candidates
-      .join(quantizedA(spark, dir), Seq("id_a"))
-      .join(quantizedB(spark, dir), Seq("id_b"))
+      .join(v.asSide("id_a", "qa", "na"), Seq("id_a"))
+      .join(v.asSide("id_b", "qb", "nb"), Seq("id_b"))
       .withColumn("dot", dot_i64(col("qa"), col("qb")))
       .where(col("dot") > 0 && col("dot") * col("dot") * 10000 >= col("na") * col("nb") * lit(2025))
       .select(col("id_a"), col("id_b"),

@@ -217,7 +217,9 @@ class PdfDispatchSpec extends AnyFunSuite {
       r.spans.map(s => (s.kind, s.text.take(30))).toString)
     assert(r.spans(0).text == "Erste Seite Inhalt hier\n")
     assert(r.spans(1).text == "zweite Seite\n")
-    assert(r.spans(2).mediaRef == "pdf:p1/page2/images")
+    // O2: decodable rasters get per-image refs (name.ext), not the opaque
+    // page ref — Multimodal.pdfMediaRows resolves them to bytes
+    assert(r.spans(2).mediaRef == "pdf:p1/page2/Im1.png")
     assert(r.metadata("x-document-title") == "T")
   }
 

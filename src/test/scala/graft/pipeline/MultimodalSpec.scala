@@ -129,4 +129,42 @@ class MultimodalSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(Multimodal.synthesize(spark, 12)).collect()
     assert(f.sortBy(_.media_ref).map(_.feature.toSeq) sameElements f2.sortBy(_.media_ref).map(_.feature.toSeq))
   }
+
+  test("O2 round-trip: PDF-embedded raster → extractor media span → pdfMediaRows → decodeImages golden pixel_hash") {
+    import graft.core.pdf.PdfBuilder
+    import spark.implicits._
+    val (w, h) = (4, 3)
+    val samples = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val pdf = PdfBuilder.build(Seq(Seq(PdfBuilder.Line("kurz", 50, 700))),
+      rgbImage = Some((w, h, samples)))
+    val b64 = java.util.Base64.getEncoder.encodeToString(pdf)
+    val doc = Doc("d9", Seq(Span("pdf", b64, "", 0)))
+
+    // the extraction kernel surfaces the raster as a per-image media span
+    val r = graft.core.Extractor.extract("d9",
+      Seq(graft.core.Extractor.Span("pdf", b64, "", 0)))
+    val mediaRefs = r.spans.filter(_.kind == "media").map(_.mediaRef)
+    assert(mediaRefs == Vector("pdf:d9/page1/ImRGB.png"))
+
+    // the media stage materializes bytes under the SAME refs
+    val media = Multimodal.pdfMediaRows(Seq(doc).toDS())
+    val rows = media.collect()
+    assert(rows.map(_.media_ref).toVector == Vector("pdf:d9/page1/ImRGB.png"))
+    assert(rows.head.mime == "image/png")
+
+    // decode → golden pixel hash computed straight from the source samples
+    // (PNG is lossless end to end)
+    val decoded = Multimodal.decodeImages(media).collect()
+    assert(decoded.length == 1)
+    assert(decoded.head.width == w && decoded.head.height == h && decoded.head.channels == 3)
+    var expected = 1125899906842597L
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      expected = 31 * expected + (0xFF000000 |
+        ((samples(base) & 0xFF) << 16) |
+        ((samples(base + 1) & 0xFF) << 8) |
+        (samples(base + 2) & 0xFF))
+    }
+    assert(decoded.head.pixel_hash == expected)
+  }
 }
