@@ -482,9 +482,22 @@ object PdfText {
     b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
       b == '{' || b == '}' || b == '/' || b == '%'
 
-  /** Token = (start, end) slice bounds over the content buffer. */
+  /** Token = (start, end) slice bounds over the content buffer.
+    *
+    * Inline images (BI … ID <raw bytes> EI) are skipped as opaque byte runs:
+    * neither this tokenizer's reference (`text_extract.go:1381-1565` has no
+    * BI/ID/EI cases — verified) nor ours can lex raw sample bytes, and
+    * without the skip a raster whose bytes happen to contain `(`/`<`/
+    * operator sequences desyncs the lexer into garbage spans for the rest
+    * of the stream. This EXCEEDS reference parity deliberately: at corpus
+    * scale inline-image PDFs are a when-not-if input, and the correct
+    * degradation is clean text with the image bytes ignored. Per the spec,
+    * the data follows `ID` after one whitespace byte and ends at an `EI`
+    * keyword delimited by whitespace.
+    */
   def tokenize(content: Array[Byte])(yieldTok: (Int, Int) => Unit): Unit = {
     var i = 0
+    var inBI = false
     val n = content.length
     while (i < n) {
       while (i < n && isWhitespaceByte(content(i))) i += 1
@@ -575,7 +588,26 @@ object PdfText {
         case _ =>
           val start = i
           while (i < n && !isWhitespaceByte(content(i)) && !isDelimiter(content(i))) i += 1
-          if (i > start) yieldTok(start, i)
+          if (i > start) {
+            val isBI = i - start == 2 && content(start) == 'B' && content(start + 1) == 'I'
+            val isID = i - start == 2 && content(start) == 'I' && content(start + 1) == 'D'
+            if (isBI) { inBI = true; yieldTok(start, i) }
+            else if (inBI && isID) {
+              // swallow ID + raw sample bytes + the terminating EI; none of
+              // it reaches the operator machine
+              inBI = false
+              if (i < n) i += 1 // the single whitespace byte after ID
+              var found = false
+              while (!found && i < n) {
+                if (content(i) == 'E' && i + 1 < n && content(i + 1) == 'I' &&
+                  isWhitespaceByte(content(i - 1)) &&
+                  (i + 2 >= n || isWhitespaceByte(content(i + 2)) || isDelimiter(content(i + 2)))) {
+                  i += 2
+                  found = true
+                } else i += 1
+              }
+            } else yieldTok(start, i)
+          }
           else i += 1 // lone delimiter like { } — skip to avoid stalling
       }
     }

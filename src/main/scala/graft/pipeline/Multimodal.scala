@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for the training-data pipeline: image/audio/video as
   * opaque binary columns with typed metadata.
   *
-  * The IMAGE path is REAL: payloads are actual PNGs and the decode stage
-  * runs the JDK's headless ImageIO (PNG is lossless, so decoded pixels —
-  * and everything derived from them — are bit-deterministic). Audio/video
-  * codecs are not in this container, so frame sampling and audio features
-  * remain deterministic STUBS — the Spark-side plumbing (schema, batched
-  * mapPartitions shape, partitioning) is identical either way and swaps to
-  * a native decoder without touching the plan shape.
+  * All three modalities are REAL end to end:
+  *   - images: actual PNG payloads decoded by the JDK's headless ImageIO
+  *     (PNG is lossless → bit-deterministic pixels);
+  *   - audio: actual 16-bit PCM WAVs, hand-rolled RIFF chunk walk +
+  *     integer sample statistics;
+  *   - video: actual MJPEG-in-AVI containers — hand-rolled RIFF writer and
+  *     walker, frame timing from the avih header, frames decoded as plain
+  *     JPEGs by ImageIO.
+  * Every stage runs as a batched mapPartitions over binary columns, and
+  * decode failures are rows, not exceptions — the shape that survives a
+  * 100 TB corpus where a fixed fraction of payloads is always corrupt.
   */
 object Multimodal {
 
@@ -87,9 +91,9 @@ object Multimodal {
     (data, durationMs)
   }
 
-  /** Deterministic synthetic media table. Image rows carry REAL encoded
-    * PNG bytes, audio rows REAL PCM WAV bytes; video rows carry opaque
-    * deterministic payloads (no container codec in this sandbox).
+  /** Deterministic synthetic media table: image rows carry REAL encoded
+    * PNG bytes, audio rows REAL PCM WAV bytes, video rows REAL
+    * MJPEG-in-AVI containers.
     */
   def synthesize(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
@@ -106,20 +110,111 @@ object Multimodal {
           val (wav, durMs) = synthWav(id)
           MediaRow(ref, "audio/wav", wav, width = 0, height = 0, duration_ms = durMs)
         case _ =>
-          val len = 256 + (id % 512).toInt
-          val bytes = new Array[Byte](len)
-          var h = id * 0x9E3779B97F4A7C15L + 1
-          var i = 0
-          while (i < len) {
-            h ^= h >>> 12; h ^= h << 25; h ^= h >>> 27
-            bytes(i) = (h * 0x2545F4914F6CDD1DL >>> 56).toByte
-            i += 1
-          }
-          MediaRow(ref, "video/mp4", bytes,
-            width = 0, height = 0, duration_ms = 1000 + (id % 60000).toInt)
+          val (avi, w, h, durMs) = synthAvi(id)
+          MediaRow(ref, "video/avi", avi, width = w, height = h, duration_ms = durMs)
       }
     }
   }
+
+  // ── MJPEG-in-AVI: hand-rolled RIFF writer + walker (same approach as the
+  // WAV chunk walk — no codec library exists in this container, but MJPEG
+  // frames are plain JPEG files the JDK's ImageIO decodes natively, so the
+  // video path is REAL end to end: container parse, frame timing from the
+  // avih header, frame decode, pixel statistics) ──
+
+  private val AviUsPerFrame = 250000 // 4 fps
+
+  private def leInt(v: Int): Array[Byte] = {
+    val b = new Array[Byte](4)
+    b(0) = v.toByte; b(1) = (v >> 8).toByte; b(2) = (v >> 16).toByte; b(3) = (v >> 24).toByte
+    b
+  }
+
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(payload.length + 9)
+    bos.write(id.getBytes("US-ASCII")); bos.write(leInt(payload.length))
+    bos.write(payload)
+    if ((payload.length & 1) == 1) bos.write(0) // RIFF word alignment
+    bos.toByteArray
+  }
+
+  private def riffList(listType: String, chunks: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ chunks.flatten)
+
+  /** Deterministic MJPEG AVI for id: 3-7 frames of an 8×8..15×13 xorshift
+    * raster, JPEG-encoded. Returns (bytes, width, height, duration_ms).
+    */
+  private def synthAvi(id: Long): (Array[Byte], Int, Int, Int) = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + (id % 6).toInt
+    val nFrames = 3 + (id % 5).toInt
+    val frames = (0 until nFrames).map { k =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var s = id * 0x9E3779B97F4A7C15L + k * 1000003L + 13
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+          img.setRGB(x, y, ((s * 0x2545F4914F6CDD1DL) >>> 40).toInt & 0xFFFFFF)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = riffChunk("avih",
+      Array(AviUsPerFrame, 0, 0, 0, nFrames, 0, 1, 0, w, h, 0, 0, 0, 0).flatMap(leInt))
+    val strh = riffChunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        Array(0, 0, 0, 1 /*scale*/, 4 /*rate*/, 0, nFrames, 0, -1, 0, 0, 0).flatMap(leInt))
+    val strf = riffChunk("strf",
+      Array(40, w, h, 1 | (24 << 16)).flatMap(leInt) ++ "MJPG".getBytes("US-ASCII") ++
+        Array(w * h * 3, 0, 0, 0, 0).flatMap(leInt))
+    val hdrl = riffList("hdrl", avih, riffList("strl", strh, strf))
+    val movi = riffList("movi", frames.map(f => riffChunk("00dc", f)): _*)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = new ByteArrayOutputStream(body.length + 8)
+    out.write("RIFF".getBytes("US-ASCII")); out.write(leInt(body.length)); out.write(body)
+    (out.toByteArray, w, h, nFrames * (AviUsPerFrame / 1000))
+  }
+
+  /** RIFF AVI walk: (microseconds per frame from avih, video frame chunks
+    * '##dc'/'##db' in stream order). Honors odd-size padding; malformed
+    * containers → None (failure is data at corpus scale).
+    */
+  private[pipeline] def parseAvi(bytes: Array[Byte]): Option[(Int, Vector[Array[Byte]])] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def str4 = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+      require(str4 == "RIFF"); bb.getInt
+      require(str4 == "AVI ")
+      var usPerFrame = 0
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = str4
+          val size = bb.getInt
+          val next = math.min(bb.position() + size + (size & 1), bytes.length)
+          id match {
+            case "LIST" =>
+              str4 // list type — walk contents regardless (hdrl/strl/movi)
+              walk(math.min(bb.position() + size - 4, bytes.length))
+            case "avih" => usPerFrame = bb.getInt
+            case v if v.length == 4 && (v.endsWith("dc") || v.endsWith("db")) =>
+              val data = new Array[Byte](size)
+              bb.get(data)
+              frames += data
+            case _ => // strh/strf/JUNK/idx1: skip
+          }
+          bb.position(next)
+        }
+      }
+      walk(bytes.length)
+      if (usPerFrame <= 0) None else Some((usPerFrame, frames.result()))
+    } catch { case _: Exception => None }
 
   final case class DecodedAudio(
       media_ref: String,
@@ -317,25 +412,43 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling for video: every `everyMs` milliseconds → frame
-    * refs (plumbing for a real frame extractor; no video codec in the
-    * container).
+  /** REAL frame sampling for video: walk the RIFF AVI container, pick the
+    * frame under each `everyMs` grid point (timing from the avih
+    * microseconds-per-frame header), decode the MJPEG frame with ImageIO,
+    * and emit dims + raster hash. Unparseable containers produce one
+    * failure row (frame_idx = −1) — data, not an exception.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 1000): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.mime.startsWith("video/"))
       .flatMap { m =>
-        (0 until m.duration_ms by everyMs).map(t => (m.media_ref, t, s"${m.media_ref}#t=$t"))
+        parseAvi(m.bytes) match {
+          case Some((usPerFrame, frames)) if frames.nonEmpty =>
+            val frameMs = math.max(usPerFrame / 1000, 1)
+            val durMs = frames.length * frameMs
+            (0 until durMs by everyMs).iterator.map { t =>
+              val idx = math.min(t / frameMs, frames.length - 1)
+              val img = try ImageIO.read(new ByteArrayInputStream(frames(idx)))
+              catch { case _: Exception => null }
+              if (img == null)
+                (m.media_ref, t, s"${m.media_ref}#t=$t", idx, -1, -1, 0L)
+              else
+                (m.media_ref, t, s"${m.media_ref}#t=$t", idx,
+                  img.getWidth, img.getHeight, rasterHash(img))
+            }
+          case _ =>
+            Iterator((m.media_ref, -1, s"${m.media_ref}#unparseable", -1, -1, -1, 0L))
+        }
       }
-      .toDF("media_ref", "ts_ms", "frame_ref")
+      .toDF("media_ref", "ts_ms", "frame_ref", "frame_idx", "width", "height", "pixel_hash")
   }
 
-  /** Feature extraction: REAL 8-dim image features from decoded pixels
-    * (dims, mean R/G/B, row/column gradient energy, raster-hash bucket);
-    * audio/video fall back to a deterministic pseudo-embedding of the
-    * payload (STUB — no codecs in the container; schema and batching are
-    * the real shape).
+  /** Feature extraction: REAL 8-dim features everywhere — image pixels via
+    * ImageIO, audio via the PCM walk, video via the AVI walk + first-frame
+    * MJPEG decode (same pixel statistics as images). Only undecodable
+    * payloads fall back to a deterministic pseudo-embedding of the raw
+    * bytes (the honest failure path).
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -346,6 +459,11 @@ object Multimodal {
           if (m.mime.startsWith("image/"))
             try Option(ImageIO.read(new ByteArrayInputStream(m.bytes)))
             catch { case _: Exception => None }
+          else if (m.mime.startsWith("video/"))
+            parseAvi(m.bytes).flatMap(_._2.headOption).flatMap { f =>
+              try Option(ImageIO.read(new ByteArrayInputStream(f)))
+              catch { case _: Exception => None }
+            }
           else None
         decoded match {
           case Some(img) =>
@@ -383,7 +501,7 @@ object Multimodal {
                   zc / n, peak.toFloat,
                   (samples.length.toLong * 1000 / (sampleRate.toLong * channels)).toFloat,
                   1f))
-              case None => // video (no codec in container): deterministic stub
+              case None => // undecodable payload: deterministic pseudo-embedding
                 var hsh = 1125899906842597L
                 var i = 0
                 while (i < m.bytes.length) { hsh = 31 * hsh + (m.bytes(i) & 0xFF); i += 1 }

@@ -71,5 +71,25 @@ class PdfFontsSpec extends AnyFunSuite {
     assert(f.glyphAdvance(Array(0x00, 0x41).map(_.toByte), 0) == ((600.0, 2)))
   }
 
+  test("Type3 font: FirstChar/Widths advance via the simple-font path (text_extract.go:399-425)") {
+    // the reference has no Type3 special case — a /Subtype /Type3 font's
+    // widths flow through the same FirstChar/Widths parse as Type1/TrueType
+    // (FontMatrix is NOT applied to advances); pin that behavior
+    val frag = "<< /Font << /T3 << /Type /Font /Subtype /Type3 /FirstChar 65 " +
+      "/Widths [ 700 800 ] /FontMatrix [0.001 0 0 0.001 0 0] " +
+      "/Encoding << /Differences [ 65 /germandbls 66 /A ] >> >> >> >>"
+    val lex = new PdfLexer(frag.getBytes("ISO-8859-1"), 0)
+    val res = lex.parseObj().asInstanceOf[PdfDict]
+    val f = new PdfFile(minimalPdf)
+    val t3 = PdfText.buildFontMap(f, res)("T3")
+    assert(!t3.isComposite)
+    assert(t3.glyphAdvance(Array(65.toByte), 0) == ((700.0, 1)))
+    assert(t3.glyphAdvance(Array(66.toByte), 0) == ((800.0, 1)))
+    assert(t3.glyphAdvance(Array(67.toByte), 0) == ((500.0, 1))) // MissingWidth default
+    val sb = new java.lang.StringBuilder
+    t3.decodeBytes(Array(65.toByte, 66.toByte), sb)
+    assert(sb.toString == "ßA") // Differences overlay decodes Type3 codes
+  }
+
   private lazy val minimalPdf = PdfBuilder.build(Seq(Seq(PdfBuilder.Line("x", 50, 700))))
 }

@@ -18,7 +18,7 @@ class MultimodalSpec extends AnyFunSuite {
     val m2 = Multimodal.synthesize(spark, 30).collect().sortBy(_.media_ref)
     assert(m1.length == 30)
     assert(m1.map(_.pixelKey) sameElements m2.map(_.pixelKey))
-    assert(m1.map(_.mime).toSet == Set("image/png", "audio/wav", "video/mp4"))
+    assert(m1.map(_.mime).toSet == Set("image/png", "audio/wav", "video/avi"))
     // every image payload is a decodable PNG whose dims match the metadata
     m1.filter(_.mime == "image/png").foreach { m =>
       val img = ImageIO.read(new ByteArrayInputStream(m.bytes))
@@ -75,11 +75,32 @@ class MultimodalSpec extends AnyFunSuite {
       sameElements again.sortBy(_.media_ref).map(_.pixel_hash))
   }
 
-  test("frame sampling plumbing: frames per duration") {
+  test("real frame sampling: AVI walk + MJPEG decode, grid timing, deterministic hashes") {
     val media = Multimodal.synthesize(spark, 30)
-    val frames = Multimodal.sampleFrames(media, everyMs = 10000).collect()
+    val srcByRef = media.collect().filter(_.mime == "video/avi").map(m => m.media_ref -> m).toMap
+    val frames = Multimodal.sampleFrames(media, everyMs = 250).collect()
     assert(frames.nonEmpty)
-    assert(frames.forall(_.getString(2).contains("#t=")))
+    frames.foreach { r =>
+      val (ref, ts, idx, w, h, hash) = (r.getString(0), r.getInt(1), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6))
+      val src = srcByRef(ref)
+      assert(idx >= 0, s"$ref parsed") // every synthetic AVI parses
+      assert(ts == idx * 250) // 4 fps container → grid index = frame index
+      assert(w == src.width && h == src.height, ref)
+      assert(hash != 0L)
+    }
+    // one frame per 250 ms of duration
+    val perRef = frames.groupBy(_.getString(0)).view.mapValues(_.length)
+    perRef.foreach { case (ref, n) => assert(n == srcByRef(ref).duration_ms / 250, ref) }
+    // deterministic across re-synthesis
+    val again = Multimodal.sampleFrames(Multimodal.synthesize(spark, 30), everyMs = 250).collect()
+    assert(frames.map(_.getLong(6)).sorted sameElements again.map(_.getLong(6)).sorted)
+    // malformed container → single failure row, not an exception
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow("s3://media/badavi", "video/avi",
+      Array[Byte](82, 73, 70, 70, 9, 9), 0, 0, 0)).toDS()
+    val badOut = Multimodal.sampleFrames(bad, everyMs = 250).collect()
+    assert(badOut.length == 1 && badOut.head.getInt(3) == -1)
   }
 
   test("real WAV decode: header stats match synthesis, corrupt payload is a failure row") {
@@ -104,15 +125,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(badOut.length == 1 && badOut.head.channels == 0)
   }
 
-  test("feature extraction: real pixel/PCM statistics; stub embedding for video only") {
+  test("feature extraction: real pixel/PCM/first-frame statistics per modality") {
     val rows = Multimodal.synthesize(spark, 12).collect().map(m => m.media_ref -> m.mime).toMap
     val f = Multimodal.extractFeatures(Multimodal.synthesize(spark, 12)).collect()
     assert(f.length == 12)
     assert(f.forall(_.feature.length == 8))
     f.foreach { mf =>
       rows(mf.media_ref) match {
-        case "image/png" =>
-          // [w, h, meanR, meanG, meanB, grad, hashBucket, nPixels]
+        case "image/png" | "video/avi" =>
+          // [w, h, meanR, meanG, meanB, grad, hashBucket, nPixels] — video
+          // runs the same pixel statistics over its decoded first frame
           assert(mf.feature(0) >= 8 && mf.feature(1) >= 8)
           assert(mf.feature(2) >= 0 && mf.feature(2) <= 255)
           assert(mf.feature(7) == mf.feature(0) * mf.feature(1))
@@ -121,8 +143,6 @@ class MultimodalSpec extends AnyFunSuite {
           assert(mf.feature(0) == 8000f && mf.feature(1) == 1f)
           assert(mf.feature(3) > 0 && mf.feature(5) > 0)
           assert(mf.feature(7) == 1f)
-        case _ =>
-          assert(mf.feature.forall(v => v >= 0 && v <= 1))
       }
     }
     // deterministic
