@@ -47,6 +47,13 @@ object OfficeXml {
       f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.FALSE)
       f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.FALSE)
       f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      // the JDK's SJSXP recycles one reader (and its internal char/symbol
+      // buffers) per factory instead of allocating ~tens of KB per
+      // createXMLStreamReader call — a large slice of the OOXML kernel's
+      // bytes/doc. Safe here: one factory per thread, readers are consumed
+      // sequentially, never nested. Unknown on other impls → best-effort.
+      try f.setProperty("reuse-instance", java.lang.Boolean.TRUE)
+      catch { case _: IllegalArgumentException => }
       f
     }
 

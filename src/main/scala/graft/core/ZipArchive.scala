@@ -36,15 +36,32 @@ object ZipArchive {
     out.result()
   }
 
-  private def readCapped(zin: ZipInputStream, name: String): Array[Byte] = {
-    val buf = new java.io.ByteArrayOutputStream(8192)
+  // Per-thread reusable read buffer + growable scratch: the 8 KB chunk and
+  // ByteArrayOutputStream previously allocated PER ENTRY dominated the
+  // OOXML kernel's bytes/doc (measured round 3: ~16 KB per entry for
+  // sub-1 KB XML payloads). Entries are read sequentially per thread.
+  private final class Scratch {
     val chunk = new Array[Byte](8192)
-    var n = zin.read(chunk)
+    var acc = new Array[Byte](16384)
+  }
+  private val scratchTL: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
+  private def readCapped(zin: ZipInputStream, name: String): Array[Byte] = {
+    val s = scratchTL.get()
+    var len = 0
+    var n = zin.read(s.chunk)
     while (n >= 0) {
-      buf.write(chunk, 0, n)
-      if (buf.size > MaxEntryBytes) throw new EntryTooBigException(name)
-      n = zin.read(chunk)
+      if (len + n > s.acc.length) {
+        val grown = math.max(s.acc.length * 2L, len + n.toLong)
+        if (grown > MaxEntryBytes + 8192L) throw new EntryTooBigException(name)
+        s.acc = java.util.Arrays.copyOf(s.acc, grown.toInt)
+      }
+      System.arraycopy(s.chunk, 0, s.acc, len, n)
+      len += n
+      if (len > MaxEntryBytes) throw new EntryTooBigException(name)
+      n = zin.read(s.chunk)
     }
-    buf.toByteArray
+    java.util.Arrays.copyOf(s.acc, len)
   }
 }

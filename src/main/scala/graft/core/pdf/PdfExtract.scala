@@ -32,6 +32,30 @@ object PdfExtract {
 
   val MaxXObjDepth = 8 // text_extract.go:328
 
+  // Packed operator keys (byte0 | byte1<<8 | byte2<<16) — the interpreter
+  // dispatches on these instead of allocating a String per token.
+  private final val OpLowerQ = 'q'.toInt
+  private final val OpUpperQ = 'Q'.toInt
+  private final val OpCm = 'c' | ('m' << 8)
+  private final val OpBMC = 'B' | ('M' << 8) | ('C' << 16)
+  private final val OpBDC = 'B' | ('D' << 8) | ('C' << 16)
+  private final val OpEMC = 'E' | ('M' << 8) | ('C' << 16)
+  private final val OpDo = 'D' | ('o' << 8)
+  private final val OpBT = 'B' | ('T' << 8)
+  private final val OpET = 'E' | ('T' << 8)
+  private final val OpTf = 'T' | ('f' << 8)
+  private final val OpTL = 'T' | ('L' << 8)
+  private final val OpTc = 'T' | ('c' << 8)
+  private final val OpTw = 'T' | ('w' << 8)
+  private final val OpTm = 'T' | ('m' << 8)
+  private final val OpTd = 'T' | ('d' << 8)
+  private final val OpTD = 'T' | ('D' << 8)
+  private final val OpTstar = 'T' | ('*' << 8)
+  private final val OpTj = 'T' | ('j' << 8)
+  private final val OpQuote = '\''.toInt
+  private final val OpDquote = '"'.toInt
+  private final val OpTJ = 'T' | ('J' << 8)
+
   def buildXObjMap(f: PdfFile, resources: PdfDict, depth: Int = 0): Map[String, XObj] = {
     if (depth > MaxXObjDepth) return Map.empty
     val xobjDict = resources.get("XObject").flatMap(f.dict).getOrElse(return Map.empty)
@@ -120,9 +144,11 @@ object PdfExtract {
       val tcf = charSpacing * tfSize
       val twf = wordSpacing * tfSize
       if (currentFont != null) {
+        val f = currentFont
         var i = 0
         while (i < b.length) {
-          val (w, n) = currentFont.glyphAdvance(b, i)
+          val w = f.glyphWidth(b, i) // allocation-free; length in f.lastLen
+          val n = f.lastLen
           tx += w / 1000.0 * tfSize + tcf
           if (n == 1 && b(i) == 0x20) tx += twf
           i += n
@@ -206,13 +232,26 @@ object PdfExtract {
         sb.toString
       }
 
-      def parseF(s: Int, e: Int): Option[Double] = {
-        if (e <= s) return None
-        try Some(java.lang.Double.parseDouble(tokStr(s, e)))
-        catch { case _: NumberFormatException => None }
+      // NaN-sentinel operand read — no String/Option per numeric token
+      // (the round-3 allocation profile put per-token Strings + boxed
+      // Option[Double] vectors among the kernel's largest costs)
+      def atBackD(n: Int): Double = {
+        val idx = (pos - n) & (winSize - 1)
+        PdfText.parseOperand(buf, winS(idx), winE(idx))
       }
-      def atBackF(n: Int): Option[Double] =
-        parseF(winS((pos - n) & (winSize - 1)), winE((pos - n) & (winSize - 1)))
+      def orZero(v: Double): Double = if (java.lang.Double.isNaN(v)) 0.0 else v
+      val m6 = new Array[Double](6)
+      def back6(): Boolean = {
+        var ok = true
+        var k = 0
+        while (k < 6) {
+          val v = atBackD(6 - k)
+          m6(k) = v
+          if (java.lang.Double.isNaN(v)) ok = false
+          k += 1
+        }
+        ok
+      }
       def atBackS(n: Int): (Int, Int) =
         (winS((pos - n) & (winSize - 1)), winE((pos - n) & (winSize - 1)))
       def stripSlash(s: Int, e: Int): String = {
@@ -222,21 +261,24 @@ object PdfExtract {
 
       tokenize(content) { (tS, tE) =>
         val len = tE - tS
-        val op: String =
-          if (len <= 3) tokStr(tS, tE) else ""
-        op match {
-          case "q" => gs.push()
-          case "Q" => gs.pop(); ts.updateFontSize(gs)
-          case "cm" =>
-            if (pos >= 6) {
-              val vs = (6 to 1 by -1).map(atBackF)
-              if (vs.forall(_.isDefined)) {
-                val v = vs.map(_.get)
-                gs.ctm = Matrix3(v(0), v(1), v(2), v(3), v(4), v(5)).multiply(gs.ctm)
-                ts.updateFontSize(gs)
-              }
+        // packed-int operator key (≤ 3 bytes); numbers/strings/names pack
+        // too but can't collide — no operator starts with a digit, sign,
+        // '(', '<', '[' or '/'. No String allocated per token.
+        val key: Int =
+          if (len >= 1 && len <= 3) {
+            (buf(tS) & 0xFF) |
+              (if (len > 1) (buf(tS + 1) & 0xFF) << 8 else 0) |
+              (if (len > 2) (buf(tS + 2) & 0xFF) << 16 else 0)
+          } else 0
+        key match {
+          case OpLowerQ => gs.push()
+          case OpUpperQ => gs.pop(); ts.updateFontSize(gs)
+          case OpCm =>
+            if (pos >= 6 && back6()) {
+              gs.ctm = Matrix3(m6(0), m6(1), m6(2), m6(3), m6(4), m6(5)).multiply(gs.ctm)
+              ts.updateFontSize(gs)
             }
-          case "BMC" =>
+          case OpBMC =>
             taggedFlag(0) = true
             if (pos >= 1) {
               val (s1, e1) = atBackS(1)
@@ -244,7 +286,7 @@ object PdfExtract {
               tagStack += Tag(name, "", hasActualText = false, ts.cursorDevX, ts.cursorDevY)
               if (name == "Artifact") artifactDepth += 1
             }
-          case "BDC" =>
+          case OpBDC =>
             taggedFlag(0) = true
             if (pos >= 2) {
               val (s2, e2) = atBackS(2)
@@ -256,7 +298,7 @@ object PdfExtract {
               if (name == "Artifact") artifactDepth += 1
               if (hasActual) actualTextDepth += 1
             }
-          case "EMC" =>
+          case OpEMC =>
             if (tagStack.nonEmpty) {
               val top = tagStack.remove(tagStack.length - 1)
               if (top.name == "Artifact" && artifactDepth > 0) {
@@ -275,7 +317,7 @@ object PdfExtract {
                 if (artifactDepth == 0) cur.text.append(top.actualText)
               }
             }
-          case "Do" =>
+          case OpDo =>
             if (artifactDepth == 0 && pos >= 1) {
               val (s1, e1) = atBackS(1)
               xobjMap.get(stripSlash(s1, e1)).foreach { xobj =>
@@ -294,50 +336,46 @@ object PdfExtract {
                 }
               }
             }
-          case "BT" =>
+          case OpBT =>
             ts.inBT = true
             ts.tlm = Identity
             ts.tm = Identity
             ts.updateFontSize(gs)
-          case "ET" => ts.inBT = false
-          case "Tf" =>
+          case OpET => ts.inBT = false
+          case OpTf =>
             if (pos >= 2) {
               val (s2, e2) = atBackS(2)
               ts.currentFont = fontMap.getOrElse(stripSlash(s2, e2), null)
-              ts.tfSize = atBackF(1).getOrElse(0.0)
+              ts.tfSize = orZero(atBackD(1))
               if (ts.tfSize < 0) ts.tfSize = -ts.tfSize
               ts.updateFontSize(gs)
             }
-          case "TL" => if (pos >= 1) ts.leading = atBackF(1).getOrElse(0.0)
-          case "Tc" => if (pos >= 1) ts.charSpacing = atBackF(1).getOrElse(0.0)
-          case "Tw" => if (pos >= 1) ts.wordSpacing = atBackF(1).getOrElse(0.0)
-          case "Tm" =>
-            if (ts.inBT && pos >= 6) {
-              val vs = (6 to 1 by -1).map(atBackF)
-              if (vs.forall(_.isDefined)) {
-                val v = vs.map(_.get)
-                val mat = Matrix3(v(0), v(1), v(2), v(3), v(4), v(5))
-                val (newDevX, newDevY) = mat.multiply(gs.ctm).transformPoint(0, 0)
-                ts.setTm(mat, gs)
+          case OpTL => if (pos >= 1) ts.leading = orZero(atBackD(1))
+          case OpTc => if (pos >= 1) ts.charSpacing = orZero(atBackD(1))
+          case OpTw => if (pos >= 1) ts.wordSpacing = orZero(atBackD(1))
+          case OpTm =>
+            if (ts.inBT && pos >= 6 && back6()) {
+              val mat = Matrix3(m6(0), m6(1), m6(2), m6(3), m6(4), m6(5))
+              val (newDevX, newDevY) = mat.multiply(gs.ctm).transformPoint(0, 0)
+              ts.setTm(mat, gs)
+              emitGapOrTrack(newDevX, newDevY)
+              if (newDevX > ts.cursorDevX) ts.cursorDevX = newDevX
+              ts.cursorDevY = newDevY
+            }
+          case OpTd | OpTD =>
+            if (ts.inBT && pos >= 2) {
+              val tx = atBackD(2)
+              val ty = atBackD(1)
+              if (!java.lang.Double.isNaN(tx) && !java.lang.Double.isNaN(ty)) {
+                if (key == OpTD) ts.leading = -ty
+                ts.applyTd(tx, ty, gs)
+                val (newDevX, newDevY) = ts.deviceOrigin(gs)
                 emitGapOrTrack(newDevX, newDevY)
                 if (newDevX > ts.cursorDevX) ts.cursorDevX = newDevX
                 ts.cursorDevY = newDevY
               }
             }
-          case "Td" | "TD" =>
-            if (ts.inBT && pos >= 2) {
-              (atBackF(2), atBackF(1)) match {
-                case (Some(tx), Some(ty)) =>
-                  if (op == "TD") ts.leading = -ty
-                  ts.applyTd(tx, ty, gs)
-                  val (newDevX, newDevY) = ts.deviceOrigin(gs)
-                  emitGapOrTrack(newDevX, newDevY)
-                  if (newDevX > ts.cursorDevX) ts.cursorDevX = newDevX
-                  ts.cursorDevY = newDevY
-                case _ =>
-              }
-            }
-          case "T*" =>
+          case OpTstar =>
             if (ts.inBT) {
               ts.applyTd(0, -ts.leading, gs)
               val (newDevX, newDevY) = ts.deviceOrigin(gs)
@@ -345,7 +383,7 @@ object PdfExtract {
               if (newDevX > ts.cursorDevX) ts.cursorDevX = newDevX
               ts.cursorDevY = newDevY
             }
-          case "Tj" =>
+          case OpTj =>
             if (ts.inBT && pos >= 1) {
               val (s1, e1) = atBackS(1)
               val raw = parsePdfString(buf, s1, e1)
@@ -354,7 +392,7 @@ object PdfExtract {
                 ts.advanceTm(raw, gs)
               }
             }
-          case "'" =>
+          case OpQuote =>
             if (ts.inBT && pos >= 1) {
               ts.applyTd(0, -ts.leading, gs)
               val (newDevX, newDevY) = ts.deviceOrigin(gs)
@@ -368,10 +406,10 @@ object PdfExtract {
                 ts.advanceTm(raw, gs)
               }
             }
-          case "\"" =>
+          case OpDquote =>
             if (ts.inBT && pos >= 3) {
-              ts.wordSpacing = atBackF(3).getOrElse(0.0)
-              ts.charSpacing = atBackF(2).getOrElse(0.0)
+              ts.wordSpacing = orZero(atBackD(3))
+              ts.charSpacing = orZero(atBackD(2))
               ts.applyTd(0, -ts.leading, gs)
               val (newDevX, newDevY) = ts.deviceOrigin(gs)
               emitGapOrTrack(newDevX, newDevY)
@@ -384,7 +422,7 @@ object PdfExtract {
                 ts.advanceTm(raw, gs)
               }
             }
-          case "TJ" =>
+          case OpTJ =>
             if (ts.inBT && pos >= 1) {
               val (s1, e1) = atBackS(1)
               val (gsAdv, tcTwAdv) = parseTJArray(buf, s1, e1, ts, sink())
@@ -459,7 +497,8 @@ object PdfExtract {
                 var prevWasSpace = false
                 var j = 0
                 while (j < raw.length) {
-                  val (width, n0) = f.glyphAdvance(raw, j)
+                  val width = f.glyphWidth(raw, j) // allocation-free; f.lastLen
+                  val n0 = f.lastLen
                   gsAdv += width
                   tcTwAdv += tcf
                   val isSpace = n0 == 1 && raw(j) == 0x20
@@ -474,23 +513,24 @@ object PdfExtract {
                   } else code = raw(j) & 0xFF
                   var consumed = false
                   if (f.toUnicode != null) {
-                    f.toUnicode.get(code) match {
-                      case Some(str) => w.append(str); j += n; consumed = true
-                      case None =>
+                    if (n == 2) {
+                      // composite 2-byte code — sparse key space stays a Map
+                      f.toUnicode.get(code) match {
+                        case Some(str) => w.append(str); j += n; consumed = true
+                        case None =>
+                      }
+                    } else {
+                      val str = f.toUni1(code)
+                      if (str != null) { w.append(str); j += n; consumed = true }
                     }
                   }
                   if (!consumed) {
                     if (n == 1) {
-                      var encoded = false
-                      if (f.encoding != null) {
-                        f.encoding.get(raw(j) & 0xFF) match {
-                          case Some(r) => w.appendCodePoint(r); j += 1; encoded = true
-                          case None =>
-                        }
-                      }
-                      if (!encoded) {
-                        val r = raw(j) & 0xFF
-                        if (r >= 0x20 && r != 0x7F) w.appendCodePoint(r)
+                      val r = f.encRune(raw(j) & 0xFF)
+                      if (r >= 0) { w.appendCodePoint(r); j += 1 }
+                      else {
+                        val c = raw(j) & 0xFF
+                        if (c >= 0x20 && c != 0x7F) w.appendCodePoint(c)
                         j += n
                       }
                     } else j += n
@@ -502,12 +542,11 @@ object PdfExtract {
           } else {
             val start = i
             while (i < innerEnd && !isWhitespaceByte(buf(i)) && buf(i) != '(' && buf(i) != '<') i += 1
-            val numStr = new String(buf, start, i - start, "US-ASCII")
-            try {
-              val n = java.lang.Double.parseDouble(numStr)
+            val n = PdfText.parseOperand(buf, start, i)
+            if (!java.lang.Double.isNaN(n)) {
               gsAdv -= n
               if (n < -150 && !lastEndsWithSpace) pendingKernSpace = true
-            } catch { case _: NumberFormatException => }
+            }
           }
         }
       }

@@ -231,36 +231,65 @@ final class PdfLexer(val data: Array[Byte], var pos: Int) {
     -1
   }
 
+  @inline private def tokenIs(start: Int, end: Int, kw: String): Boolean = {
+    if (end - start != kw.length) return false
+    var i = 0
+    while (i < kw.length) {
+      if (data(start + i) != kw.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Digits [start,end) as a non-negative long, −1 on overflow/too long. */
+  @inline private def digitsToLong(start: Int, end: Int): Long = {
+    if (end - start > 18) return -1L
+    var v = 0L
+    var i = start
+    while (i < end) { v = v * 10 + (data(i) - '0'); i += 1 }
+    v
+  }
+
   def parseNumberKeywordOrRef(): PdfObj = {
+    // number tokens are BY FAR the most frequent object in real files
+    // (width arrays, xref material, coordinates) — this path allocates
+    // nothing for them (the String-per-token it replaced was the largest
+    // single slice of the per-doc PDF open cost, measured round 3)
     val start = pos
     while (pos < data.length && !ws(data(pos)) && !delim(data(pos))) pos += 1
-    val tok = new String(data, start, pos - start, "US-ASCII")
-    tok match {
-      case "true" => PdfBool(true)
-      case "false" => PdfBool(false)
-      case "null" => PdfNull
-      case _ =>
-        // "num gen R" reference lookahead
-        if (tok.nonEmpty && tok.forall(c => c >= '0' && c <= '9')) {
-          val save = pos
-          skipWs()
-          val s2 = pos
-          while (pos < data.length && data(pos) >= '0' && data(pos) <= '9') pos += 1
-          if (pos > s2) {
-            val gen = new String(data, s2, pos - s2, "US-ASCII")
-            skipWs()
-            if (pos < data.length && data(pos) == 'R' &&
-              (pos + 1 >= data.length || ws(data(pos + 1)) || delim(data(pos + 1)))) {
-              pos += 1
-              return PdfRef(tok.toInt, gen.toInt)
-            }
-          }
-          pos = save
-          PdfNum(tok.toDouble)
-        } else {
-          try PdfNum(tok.toDouble)
-          catch { case _: NumberFormatException => PdfName(tok) /* bare keyword */ }
-        }
+    val end = pos
+    if (tokenIs(start, end, "true")) return PdfBool(true)
+    if (tokenIs(start, end, "false")) return PdfBool(false)
+    if (tokenIs(start, end, "null")) return PdfNull
+    var allDigits = end > start
+    var i = start
+    while (i < end && allDigits) {
+      if (data(i) < '0' || data(i) > '9') allDigits = false
+      i += 1
     }
+    if (allDigits) {
+      val num = digitsToLong(start, end)
+      if (num >= 0 && num <= Int.MaxValue) {
+        // "num gen R" reference lookahead
+        val save = pos
+        skipWs()
+        val s2 = pos
+        while (pos < data.length && data(pos) >= '0' && data(pos) <= '9') pos += 1
+        if (pos > s2) {
+          val gen = digitsToLong(s2, pos)
+          skipWs()
+          if (gen >= 0 && gen <= Int.MaxValue && pos < data.length && data(pos) == 'R' &&
+            (pos + 1 >= data.length || ws(data(pos + 1)) || delim(data(pos + 1)))) {
+            pos += 1
+            return PdfRef(num.toInt, gen.toInt)
+          }
+        }
+        pos = save
+        return PdfNum(num.toDouble)
+      }
+    }
+    val v = PdfText.parseOperand(data, start, end)
+    if (!java.lang.Double.isNaN(v)) PdfNum(v)
+    else PdfName(new String(data, start, end - start, "US-ASCII")) // bare keyword
   }
 }

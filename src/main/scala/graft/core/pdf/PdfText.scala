@@ -140,6 +140,24 @@ object PdfText {
     m.toMap
   }
 
+  // compiled forms of the shared named encodings — every simple font using
+  // an unmodified named encoding reuses these instead of re-walking the Map
+  // into a fresh array per document
+  private def compileEnc(m: Map[Int, Int]): Array[Int] = {
+    val a = new Array[Int](256)
+    java.util.Arrays.fill(a, -1)
+    m.foreach { case (k, v) => if (k >= 0 && k < 256) a(k) = v }
+    a
+  }
+  private lazy val winAnsiArr = compileEnc(winAnsiEnc)
+  private lazy val standardArr = compileEnc(standardEnc)
+  private lazy val macRomanArr = compileEnc(macRomanEnc)
+  private def sharedEncArr(m: Map[Int, Int]): Array[Int] =
+    if (m eq winAnsiEnc) winAnsiArr
+    else if (m eq standardEnc) standardArr
+    else if (m eq macRomanEnc) macRomanArr
+    else null
+
   // ── font model (text_extract.go:141-237) ──
 
   final class PdfFont(
@@ -149,36 +167,105 @@ object PdfText {
       var defaultWidth: Double,
       var isComposite: Boolean) {
 
-    /** glyphAdvance (text_extract.go:169-188): (width, bytesConsumed). */
-    def glyphAdvance(b: Array[Byte], i: Int): (Double, Int) = {
-      val dw = if (defaultWidth == 0) 500.0 else defaultWidth
-      if (widths == null) return (dw, 1)
-      if (isComposite && i + 1 < b.length) {
-        val code = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
-        widths.get(code) match {
-          case Some(w) => return (w, 2)
-          case None =>
+    // ── compiled primitive tables ──
+    // The per-glyph hot loops (advance + decode) run once per shown byte of
+    // every PDF in the corpus; Map[Int, _].get there costs an Option + key
+    // box PER GLYPH, which round 3's allocation profile measured as a large
+    // slice of the whole extraction kernel's bytes/doc (the bandwidth wall
+    // that caps multi-thread scaling). One-byte codes compile into dense
+    // 256-slot arrays on first use; composite 2-byte lookups stay Map-based
+    // (sparse 16-bit key space). Fonts are built then used single-threaded
+    // per document — mutation after first decode is not supported.
+    private var compiled = false
+    private var encArr: Array[Int] = _ // rune per byte code, -1 = absent
+    private var toUniLow: Array[String] = _ // 1-byte ToUnicode, null = absent
+    private[pdf] var widthsArr: Array[Double] = _ // simple-font widths, NaN = absent
+
+    @inline private def ensureCompiled(): Unit = if (!compiled) compileTables()
+
+    private def compileTables(): Unit = {
+      if (encoding != null && encArr == null) {
+        encArr = sharedEncArr(encoding)
+        if (encArr == null) {
+          val a = new Array[Int](256)
+          java.util.Arrays.fill(a, -1)
+          encoding.foreach { case (k, v) => if (k >= 0 && k < 256) a(k) = v }
+          encArr = a
         }
       }
-      widths.get(b(i) & 0xFF) match {
-        case Some(w) => (w, 1)
-        case None => (dw, 1)
+      if (toUnicode != null && toUniLow == null) {
+        val a = new Array[String](256)
+        toUnicode.foreach { case (k, v) => if (k >= 0 && k < 256) a(k) = v }
+        toUniLow = a
       }
+      if (!isComposite && widthsArr == null && widths != null) {
+        val a = new Array[Double](256)
+        java.util.Arrays.fill(a, Double.NaN)
+        widths.foreach { case (k, v) => if (k >= 0 && k < 256) a(k) = v }
+        widthsArr = a
+      }
+      compiled = true
+    }
+
+    /** 1-byte ToUnicode mapping or null (allocation-free). */
+    @inline private[pdf] def toUni1(code: Int): String = {
+      ensureCompiled()
+      if (toUniLow == null) null else toUniLow(code)
+    }
+
+    /** Encoding rune for a byte code, −1 when absent (allocation-free). */
+    @inline private[pdf] def encRune(code: Int): Int = {
+      ensureCompiled()
+      if (encArr == null) -1 else encArr(code)
+    }
+
+    /** Bytes consumed by the last [[glyphWidth]] call (1 or 2). */
+    private[pdf] var lastLen: Int = 1
+
+    /** glyphAdvance width, consumed length in [[lastLen]] — the
+      * allocation-free form of [[glyphAdvance]] for the per-glyph loops.
+      */
+    def glyphWidth(b: Array[Byte], i: Int): Double = {
+      ensureCompiled()
+      val dw = if (defaultWidth == 0) 500.0 else defaultWidth
+      lastLen = 1
+      if (isComposite) {
+        if (widths == null) return dw
+        if (i + 1 < b.length) {
+          val code = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+          val w = widths.get(code)
+          if (w.isDefined) { lastLen = 2; return w.get }
+        }
+        widths.get(b(i) & 0xFF) match {
+          case Some(w) => w
+          case None => dw
+        }
+      } else {
+        if (widthsArr == null) return dw
+        val w = widthsArr(b(i) & 0xFF)
+        if (java.lang.Double.isNaN(w)) dw else w
+      }
+    }
+
+    /** glyphAdvance (text_extract.go:169-188): (width, bytesConsumed). */
+    def glyphAdvance(b: Array[Byte], i: Int): (Double, Int) = {
+      val w = glyphWidth(b, i)
+      (w, lastLen)
     }
 
     def rawStringWidth(b: Array[Byte]): Double = {
       var total = 0.0
       var i = 0
       while (i < b.length) {
-        val (w, n) = glyphAdvance(b, i)
-        total += w
-        i += n
+        total += glyphWidth(b, i)
+        i += lastLen
       }
       total
     }
 
     /** decodeBytes (text_extract.go:207-237). */
     def decodeBytes(b: Array[Byte], dst: java.lang.StringBuilder): Unit = {
+      ensureCompiled()
       var i = 0
       while (i < b.length) {
         var consumed = false
@@ -189,17 +276,13 @@ object PdfText {
             case None =>
           }
         }
-        if (!consumed && toUnicode != null) {
-          toUnicode.get(b(i) & 0xFF) match {
-            case Some(s) => dst.append(s); i += 1; consumed = true
-            case None =>
-          }
+        if (!consumed && toUniLow != null) {
+          val s = toUniLow(b(i) & 0xFF)
+          if (s != null) { dst.append(s); i += 1; consumed = true }
         }
-        if (!consumed && encoding != null) {
-          encoding.get(b(i) & 0xFF) match {
-            case Some(r) => dst.appendCodePoint(r); i += 1; consumed = true
-            case None =>
-          }
+        if (!consumed && encArr != null) {
+          val r = encArr(b(i) & 0xFF)
+          if (r >= 0) { dst.appendCodePoint(r); i += 1; consumed = true }
         }
         if (!consumed) {
           val r = b(i) & 0xFF
@@ -228,7 +311,9 @@ object PdfText {
           font.isComposite = true
           font.widths = parseCIDFontWidths(f, fd)
         } else {
-          font.widths = parseSimpleFontWidths(f, fd)
+          // dense array straight from FirstChar/Widths — skips the boxed
+          // Map a simple font would only compile away again per doc
+          font.widthsArr = parseSimpleFontWidths(f, fd)
         }
         fd.get("FontDescriptor").flatMap(f.dict).foreach { fdd =>
           fdd.get("MissingWidth").flatMap(f.num).foreach(font.defaultWidth = _)
@@ -239,15 +324,24 @@ object PdfText {
     out.result()
   }
 
-  private def parseSimpleFontWidths(f: PdfFile, fd: PdfDict): Map[Int, Double] = {
+  /** Simple-font widths as a dense 256-slot array (codes are single bytes),
+    * NaN = absent — the per-glyph advance reads it allocation-free.
+    */
+  private def parseSimpleFontWidths(f: PdfFile, fd: PdfDict): Array[Double] = {
     val fc = fd.get("FirstChar").flatMap(f.num).getOrElse(return null).toInt
     val arr = fd.get("Widths").flatMap(f.array).getOrElse(return null)
     if (arr.items.isEmpty) return null
-    val m = Map.newBuilder[Int, Double]
-    arr.items.zipWithIndex.foreach { case (e, idx) =>
-      f.num(e).foreach(w => m += (fc + idx) -> w)
+    val out = new Array[Double](256)
+    java.util.Arrays.fill(out, Double.NaN)
+    var idx = 0
+    arr.items.foreach { e =>
+      f.num(e).foreach { w =>
+        val c = fc + idx
+        if (c >= 0 && c < 256) out(c) = w
+      }
+      idx += 1
     }
-    m.result()
+    out
   }
 
   private def parseCIDFontWidths(f: PdfFile, type0fd: PdfDict): Map[Int, Double] = {
@@ -612,6 +706,60 @@ object PdfText {
       }
     }
   }
+
+  // ── numeric operand parsing ──
+
+  private val Pow10: Array[Double] = Array.tabulate(16)(k => math.pow(10, k))
+
+  /** Parse a PDF numeric operand slice to Double, NaN when not a number —
+    * equivalent to `Double.parseDouble(new String(slice))` for every form a
+    * PDF operand takes (sign, digits, one dot), without the String/Option
+    * allocation the interpreter paid per token. Fast path: ≤ 15 digits →
+    * exact long mantissa / exact power of ten = one correctly-rounded
+    * division, bit-identical to parseDouble; anything longer or stranger
+    * falls back to parseDouble itself.
+    */
+  def parseOperand(buf: Array[Byte], s: Int, e: Int): Double = {
+    if (e <= s) return Double.NaN
+    var i = s
+    var neg = false
+    val c0 = buf(i)
+    if (c0 == '+' || c0 == '-') { neg = c0 == '-'; i += 1 }
+    var mant = 0L
+    var digits = 0 // significant digits accumulated into mant
+    var frac = 0 // digits after the dot (incl. leading fractional zeros)
+    var sawZero = false
+    var seenDot = false
+    var simple = true
+    while (i < e && simple) {
+      val c = buf(i)
+      if (c >= '0' && c <= '9') {
+        if (digits == 0 && c == '0') {
+          // redundant leading zero (mant stays 0); fractional position counts
+          if (seenDot) frac += 1
+          sawZero = true
+          i += 1
+        } else if (digits < 15) {
+          mant = mant * 10 + (c - '0')
+          digits += 1
+          if (seenDot) frac += 1
+          i += 1
+        } else simple = false
+      } else if (c == '.' && !seenDot) { seenDot = true; i += 1 }
+      else simple = false
+    }
+    if (simple && i == e && (digits > 0 || sawZero) && frac < Pow10.length) {
+      if (digits == 0) { if (neg) -0.0 else 0.0 } // all zeros
+      else {
+        val v = mant / Pow10(frac)
+        if (neg) -v else v
+      }
+    } else slowParse(buf, s, e)
+  }
+
+  private def slowParse(buf: Array[Byte], s: Int, e: Int): Double =
+    try java.lang.Double.parseDouble(new String(buf, s, e - s, "US-ASCII"))
+    catch { case _: NumberFormatException => Double.NaN }
 
   // ── string parsing helpers (text_extract.go:1091-1188) ──
 

@@ -180,19 +180,18 @@ object Dedup {
     * min-label propagation paid one action per hop of the graph diameter.
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    // no persist here: ConnectedComponents.components localCheckpoints the
+    // pair list once and every downstream consumer reads that
     val pairs = dedupNgramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b"))
-      .persist()
     val labels = ConnectedComponents.components(pairs)
-    val out = labels
+    labels
       .groupBy(col("comp").as("component"))
       .agg(count(lit(1)).as("size_"),
         collect_list(col("id")).as("ids"))
       .select(col("component"), col("size_").as("size"),
         array_join(array_sort(col("ids")), ",").as("members"))
       .orderBy(col("component"))
-    pairs.unpersist()
-    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
