@@ -51,6 +51,53 @@ object Bench {
   def evaluate(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Pin every thread of this JVM to CPUs 0..cores−1 (`taskset -apc`) so a
+    * scaling level physically models an N-core executor. Without the pin a
+    * `local[2]` run still schedules GC/JIT/driver/scheduler threads on
+    * OTHER cores — measured +0.7 cores of free compute at local[2] vs +0.4
+    * at local[8] (round 3), which inflates the small level's throughput and
+    * structurally understates N→4N efficiency. On a real 4×-smaller cluster
+    * those service threads share the smaller machines too, so the pinned
+    * measurement is the faithful one. Best-effort: no taskset → no pin.
+    */
+  /** The N most-idle CPUs over a 300 ms /proc/stat sample — pinning to
+    * FIXED ids (0..N−1) collides with whatever neighbor tenant happens to
+    * sit there and turns pair measurements into a lottery; picking idle
+    * CPUs at level start keeps both levels of a pair on comparable silicon.
+    */
+  private def pickIdleCpus(n: Int): Seq[Int] = {
+    def snap(): Map[Int, (Long, Long)] =
+      scala.io.Source.fromFile("/proc/stat").getLines()
+        .filter(l => l.length > 4 && l.startsWith("cpu") && Character.isDigit(l.charAt(3)))
+        .map { l =>
+          val p = l.trim.split("\\s+")
+          val id = p(0).drop(3).toInt
+          val vals = p.drop(1).map(_.toLong)
+          val idle = vals(3) + (if (vals.length > 4) vals(4) else 0L)
+          (id, (idle, vals.sum))
+        }.toMap
+    val a = snap(); Thread.sleep(300); val b = snap()
+    b.keys.toSeq.sortBy { id =>
+      val (i0, t0) = a.getOrElse(id, (0L, 0L))
+      val (i1, t1) = b(id)
+      val dt = math.max(t1 - t0, 1L)
+      -((i1 - i0).toDouble / dt) // most idle first
+    }.take(n)
+  }
+
+  def pinCpus(cores: Int): Boolean =
+    try {
+      val pid = ProcessHandle.current().pid()
+      val avail = Runtime.getRuntime.availableProcessors()
+      val list =
+        if (cores >= avail) (0 until avail).mkString(",")
+        else pickIdleCpus(cores).mkString(",")
+      new ProcessBuilder("taskset", "-apc", list, pid.toString)
+        .redirectErrorStream(true).start().waitFor() == 0
+    } catch { case _: Exception => false }
+
+  def unpinCpus(): Unit = { pinCpus(Runtime.getRuntime.availableProcessors()): Unit }
+
   /** `cores` is the parallelism level; tasks are sized at 4× cores so
     * straggling tasks (mega-docs, pptx-heavy rows) rebalance across waves —
     * with tasks == cores one slow task idles a whole core.
@@ -140,11 +187,14 @@ object Bench {
     spark.stop()
     val levels = Seq(math.max(cpus / 16, 1), math.max(cpus / 4, 1), cpus)
     def levelRun(cores: Int, warm: Boolean): Double = {
-      val s = session(cores)
-      if (warm) extractionBench(s, math.max(nDocs / 4, 100), cores)
-      val sec = extractionBench(s, nDocs, cores)._1
-      s.stop()
-      nDocs / sec
+      pinCpus(cores) // whole-JVM affinity = the level's core budget
+      try {
+        val s = session(cores)
+        if (warm) extractionBench(s, math.max(nDocs / 4, 100), cores)
+        val sec = extractionBench(s, nDocs, cores)._1
+        s.stop()
+        nDocs / sec
+      } finally unpinCpus()
     }
     // the headline JSON must survive a scaling-section failure (session
     // restarts are the flakiest part of the run) — but a failure is

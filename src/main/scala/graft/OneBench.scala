@@ -23,6 +23,9 @@ object OneBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // physically confine the JVM to the level's core budget (see
+    // Bench.pinCpus); disable with SPARK_GRAFT_NO_PIN=1
+    if (!sys.env.contains("SPARK_GRAFT_NO_PIN")) Bench.pinCpus(cores)
     Bench.extractionBench(spark, math.max(nDocs / 5, 5000), cores) // warmup
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]

@@ -75,3 +75,50 @@ object ExtractorProps extends Properties("Extractor") {
           spans.sortBy(_.offset).filter(_.kind == "media").map(_.mediaRef)
     }
 }
+
+/** The hand-rolled PDF numeric-operand parser must be bit-identical to
+  * Double.parseDouble on every operand shape (the fast path's mantissa /
+  * power-of-ten division is correctly rounded only under the documented
+  * digit bounds — this property is the guard).
+  */
+object ParseOperandProps extends org.scalacheck.Properties("PdfParseOperand") {
+  import org.scalacheck.{Gen, Prop}
+  import graft.core.pdf.PdfText.parseOperand
+
+  private def ref(s: String): Double =
+    try java.lang.Double.parseDouble(s)
+    catch { case _: NumberFormatException => Double.NaN }
+
+  private def same(s: String): Boolean = {
+    val b = s.getBytes("ISO-8859-1")
+    val got = parseOperand(b, 0, b.length)
+    val want = ref(s)
+    (java.lang.Double.isNaN(got) && java.lang.Double.isNaN(want)) ||
+      java.lang.Double.doubleToRawLongBits(got) == java.lang.Double.doubleToRawLongBits(want)
+  }
+
+  private val operandGen: Gen[String] = for {
+    sign <- Gen.oneOf("", "-", "+")
+    intDigits <- Gen.chooseNum(0, 20)
+    fracDigits <- Gen.chooseNum(0, 20)
+    intPart <- Gen.stringOfN(intDigits, Gen.numChar)
+    fracPart <- Gen.stringOfN(fracDigits, Gen.numChar)
+    dot <- Gen.oneOf(true, false)
+  } yield sign + intPart + (if (dot) "." + fracPart else "")
+
+  property("matches Double.parseDouble on operand shapes") =
+    Prop.forAll(operandGen)(same)
+
+  property("matches on doubles round-tripped through toString") =
+    Prop.forAll(Gen.chooseNum(-1e9, 1e9))((d: Double) => same(d.toString))
+
+  property("typical PDF coordinates") = Prop.forAll(
+    Gen.chooseNum(-100000, 100000), Gen.chooseNum(0, 99)) { (a: Int, b: Int) =>
+    same(s"$a.$b") && same(a.toString)
+  }
+
+  property("garbage is NaN both ways") = Prop.forAll(
+    Gen.oneOf("", ".", "-", "+", "--1", "1.2.3", "12a", "a12", "1 2", "0x10")) { s =>
+    same(s)
+  }
+}
