@@ -140,18 +140,84 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = session(cpus)
 
-    // warm the JIT/codegen once on a tiny slice so timings measure steady state
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try evaluate(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
+    // headline corpus size: 10× the correctness corpus — a 40k-doc run
+    // completes in under a second of actual work, so the quotient would
+    // measure job startup and scheduling, not the pipeline; 200k docs
+    // (sf0.1) gives a 2-4 s measurement window that amortizes fixed costs
+    val nDocs = queries.Extraction.corpusSize(sfDir) * 10
+
+    // Phase 0 (full-width session): corpus materialization + JIT warm +
+    // oracle bookkeeping (the extraction expectation parquet, so the first
+    // extract_* query isn't billed for it). The FULL-size corpus is
+    // materialized here at full width — otherwise the first pinned 2-core
+    // level run would pay the 200k-doc generation inside its own window.
+    val spark0 = session(cpus)
+    try queries.Extraction.ensureExpectation(spark0, sfDir)
+    catch { case _: Throwable => }
+    extractionBench(spark0, nDocs, cpus) // full-size gen + JIT warm
+    spark0.stop()
+
+    // Phase 1 — SCALING FIRST (north-rule criterion, and the section most
+    // sensitive to neighbor load: this host's background tenants burst on
+    // a ~10-minute cadence, so the compact pair block runs while the launch
+    // window is still quiet instead of at minute 10 of the bench).
+    // N=2 → 4N=8 cores, each level's JVM pinned to its core budget
+    // (pinCpus); 4 adjacent pairs — the two runs of a pair are seconds
+    // apart, sharing the same neighbor-load window.
+    val levelN = math.max(cpus / 16, 1)
+    val level4N = math.max(cpus / 4, 1)
+    def levelRun(cores: Int, warm: Boolean): Double = {
+      pinCpus(cores) // whole-JVM affinity = the level's core budget
+      try {
+        val s = session(cores)
+        if (warm) extractionBench(s, math.max(nDocs / 4, 100), cores)
+        val sec = extractionBench(s, nDocs, cores)._1
+        s.stop()
+        nDocs / sec
+      } finally unpinCpus()
+    }
+    // Optional quiet-window gating for the pair measurements: this host's
+    // neighbor tenants burst to loadavg 10-16 on a minutes cadence, and a
+    // pair that spans a burst measures the burst, not the engine. With
+    // SPARK_GRAFT_QUIET_WAIT=<capSeconds> set, each pair waits (up to the
+    // cap) for 1-minute loadavg < 1.2 before running; the wait changes
+    // WHEN a pair runs, never what it runs. Default 0 = no waiting (the
+    // round driver's unattended invocation keeps its old duration).
+    val quietWaitCap = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "0").toInt
+    def waitQuiet(): Unit = if (quietWaitCap > 0) {
+      val deadline = System.nanoTime() + quietWaitCap * 1_000_000_000L
+      var load = 99.0
+      while (System.nanoTime() < deadline && {
+        load = try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+          .split(" ")(0).toDouble
+        catch { case _: Exception => 0.0 }
+        load >= 1.2
+      }) Thread.sleep(15000)
+      System.err.println(f"[bench] pair window at loadavg $load%.2f")
     }
 
-    // oracle bookkeeping, not query work: write the extraction expectation
-    // parquet up front so the first extract_* query isn't billed for it
-    try queries.Extraction.ensureExpectation(spark, sfDir)
-    catch { case _: Throwable => }
+    // a scaling failure is reported AS a failure ("scaling_failed": true,
+    // no per-level numbers): synthesizing throughputs here would fabricate
+    // perfect-scaling evidence indistinguishable from a real measurement
+    val rounds: Option[Seq[(Double, Double)]] = try {
+      levelRun(levelN, warm = true)
+      levelRun(level4N, warm = true)
+      Some((1 to 4).map { _ =>
+        waitQuiet()
+        (levelRun(levelN, warm = false), levelRun(level4N, warm = false))
+      })
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scaling section failed: ${e.getMessage}")
+        None
+    }
 
+    // Phase 2 (full-width session): per-query timings + headline extraction.
+    val spark = session(cpus)
+    SparkEntry.queries.foreach { case (_, fn) => // JIT warm on a tiny slice
+      try evaluate(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
+    }
     // a crashing query must be distinguishable from a fast successful one:
     // failures keep their (negative) elapsed time and land in `errors`
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -166,55 +232,15 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (failed) -sec else sec)
     }
-
-    // headline: extraction throughput on the synthetic interleaved corpus.
-    // 10× the correctness-corpus size: a 40k-doc run completes in under a
-    // second of actual work, so the quotient would measure job startup and
-    // scheduling, not the pipeline — 200k docs (sf0.1) gives a 2-4 s
-    // measurement window that amortizes fixed costs honestly.
-    val nDocs = queries.Extraction.corpusSize(sfDir) * 10
     extractionBench(spark, math.max(nDocs / 4, 100), cpus) // warmup
     val (extractSec, okDocs) = bestExtraction(spark, nDocs, cpus, runs = 3)
     val docsPerSec = nDocs / extractSec
 
-    // Scaling evidence: the same job at three parallelism levels, best-of
-    // across alternating rounds. Two N→4N pairs are reported: 2→8 cores
-    // (the CPU-scaling regime of this shared box) and 8→32 (the full
-    // machine, where BASELINE.md documents memory-bandwidth + neighbor-
-    // tenant contention beyond ~12 threads — a single-JVM local-mode
-    // artifact a multi-executor cluster does not share). The headline
-    // `efficiency` is the 2→8 pair per the round-1 protocol.
-    spark.stop()
-    val levels = Seq(math.max(cpus / 16, 1), math.max(cpus / 4, 1), cpus)
-    def levelRun(cores: Int, warm: Boolean): Double = {
-      pinCpus(cores) // whole-JVM affinity = the level's core budget
-      try {
-        val s = session(cores)
-        if (warm) extractionBench(s, math.max(nDocs / 4, 100), cores)
-        val sec = extractionBench(s, nDocs, cores)._1
-        s.stop()
-        nDocs / sec
-      } finally unpinCpus()
-    }
-    // the headline JSON must survive a scaling-section failure (session
-    // restarts are the flakiest part of the run) — but a failure is
-    // reported AS a failure ("scaling_failed": true, no per-level numbers):
-    // synthesizing throughputs here would fabricate perfect-scaling
-    // evidence indistinguishable from a real measurement
-    val rounds: Option[Seq[Seq[Double]]] = try {
-      levels.foreach(levelRun(_, warm = true))
-      Some((1 to 4).map(_ => levels.map(c => levelRun(c, warm = false))))
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] scaling section failed: ${e.getMessage}")
-        None
-    }
     val scalingJson = rounds match {
       case Some(rs) =>
-        val best = levels.indices.map(i => rs.map(_(i)).max)
-        val thrN = best(0)
-        val thr4N = best(1)
-        val thr16N = math.max(best(2), docsPerSec)
+        val thrN = rs.map(_._1).max
+        val thr4N = rs.map(_._2).max
+        val thr16N = docsPerSec // the full-width headline above
         // Two estimators, both reported:
         //  - paired: each round's N and 4N runs are seconds apart, sharing
         //    the same neighbor-load window — the right design on a
@@ -224,11 +250,11 @@ object Bench {
         //    best pair, consistent with the best-of-N protocol used for
         //    throughput.
         //  - conservative: best-per-level across all windows.
-        val pairEffs = rs.map(r => r(1) / (4.0 * r(0)))
+        val pairEffs = rs.map { case (a, b) => b / (4.0 * a) }
         val efficiency = pairEffs.max
         val efficiencyConservative = thr4N / (4.0 * thrN)
         val efficiencyHigh = thr16N / (4.0 * thr4N)
-        s"""{"cores_n":${levels(0)},"cores_4n":${levels(1)},"docs_per_sec_n":$thrN,"docs_per_sec_4n":$thr4N,"efficiency":$efficiency,"efficiency_estimator":"best same-window pair","efficiency_conservative":$efficiencyConservative,"pair_efficiencies":${pairEffs.mkString("[", ",", "]")},"cores_16n":${levels(2)},"docs_per_sec_16n":$thr16N,"efficiency_4n_16n":$efficiencyHigh}"""
+        s"""{"cores_n":$levelN,"cores_4n":$level4N,"docs_per_sec_n":$thrN,"docs_per_sec_4n":$thr4N,"efficiency":$efficiency,"efficiency_estimator":"best same-window pair","efficiency_conservative":$efficiencyConservative,"pair_efficiencies":${pairEffs.mkString("[", ",", "]")},"cores_16n":$cpus,"docs_per_sec_16n":$thr16N,"efficiency_4n_16n":$efficiencyHigh}"""
       case None =>
         """{"scaling_failed":true}"""
     }

@@ -158,6 +158,18 @@ object ExtractPipeline {
     // before the expensive kernel — each branch extracts only its own rows.
     // Single-span docs can't split regardless of size (binary payloads parse
     // atomically), so they stay on the fast path too.
+    //
+    // ADR — two branch scans, deliberately: the mega/single split reads the
+    // input twice (the routing predicate runs on columnar batches in both).
+    // The alternatives are strictly worse at this corpus shape: caching the
+    // scan pins the whole corpus in executor memory; salting EVERYTHING
+    // funnels 100% of bytes through one shuffle to save a second read of
+    // the (usually page-cached / cheap columnar) scan, and the unsalted
+    // majority would lose its shuffle-free fused stage. The second scan
+    // costs ~¼ of one kernel pass (Probe: scan 5.5 KB/doc vs kernel 15);
+    // if the mega fraction is known to be tiny at the source, partition the
+    // table by a size class at write time and this split becomes partition
+    // pruning instead of a second scan.
     val isMega = docBytesCol > cfg.megaDocBytes && size(col("spans")) > 1
 
     // 1a. unsalted majority: ONE fused stage (deserialize → whole kernel →

@@ -386,8 +386,10 @@ object Multimodal {
     * (`pdf:<doc>/page<N>/<name>.<ext>`, Extractor's OCR-trigger branch), so
     * an equi-join on media_ref against extracted media spans yields exactly
     * the OCR-triggered payloads. Byte materialization happens HERE, not in
-    * the text kernel — at 100 TB most rasters are never OCR'd, and the join
-    * prunes them before decode cost matters (reference behavior:
+    * the text kernel — at 100 TB most rasters are never OCR'd, so run this
+    * on the ref-pruned doc subset (semi-join the corpus against the
+    * extracted media refs first; `Extraction.extractOcrQueue` is that plan)
+    * and only triggered documents ever pay decode cost (reference behavior:
     * pdf_images.go:30-67 extracts page images only when the OCR rule fires).
     */
   def pdfMediaRows(docs: Dataset[Doc]): Dataset[MediaRow] = {

@@ -171,6 +171,37 @@ object Extraction {
       .orderBy(col("predicted_lang"), col("quality_decile"))
   }
 
+  /** The OCR feed, end to end (O2): extract → collect OCR-triggered PDF
+    * media refs → semi-join the corpus down to just those documents →
+    * materialize their embedded rasters ([[graft.pipeline.Multimodal.pdfMediaRows]])
+    * → equi-join bytes back to refs → per-doc queue summary. This is the
+    * scale-correct order: only OCR-triggered documents ever pay image
+    * decode, and the ref join is an equi-join on media_ref (shuffle on the
+    * ref key, broadcastable while the triggered minority is small).
+    * Deterministic (PNG re-encode is within-JVM stable); rows-only check —
+    * pixel-level correctness is pinned by PdfImagesSpec/MultimodalSpec
+    * goldens.
+    */
+  def extractOcrQueue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = SynthCorpus.generate(spark, corpusSize(dir), seed = 42L)
+    val refs = ExtractPipeline.extract(corpus, DemoCfg)
+      .filter(_.failure == "")
+      .flatMap(d => d.spans.iterator
+        .filter(s => s.kind == "media" && s.media_ref.startsWith("pdf:"))
+        .map(s => (d.doc_id, s.media_ref)))
+      .toDF("doc_id", "media_ref")
+    val queuedDocs = SynthCorpus.generate(spark, corpusSize(dir), seed = 42L)
+      .join(refs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .as[Doc]
+    val media = graft.pipeline.Multimodal.pdfMediaRows(queuedDocs)
+      .toDF().select(col("media_ref"), col("mime"), octet_length(col("bytes")).as("png_bytes"))
+    refs.join(media, Seq("media_ref"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_images"), sum(col("png_bytes")).as("bytes"))
+      .orderBy(substring(col("doc_id"), 4, 12).cast("long"))
+  }
+
   /** Multimodal pipeline surfaced through the contract (rows-only: image
     * decode is REAL — JDK ImageIO over real PNG payloads, deterministic
     * because PNG is lossless — but not SQL-expressible in DuckDB).
@@ -212,6 +243,7 @@ object Extraction {
     "extract_media_passthrough" -> (extractMediaPassthrough _),
     "extract_salt_spread" -> (extractSaltSpread _),
     "extract_curate" -> (extractCurate _),
+    "extract_ocr_queue" -> (extractOcrQueue _),
     "media_decode" -> (mediaDecode _),
     "media_audio_decode" -> (mediaAudio _),
     "media_resize" -> (mediaResize _),

@@ -37,6 +37,20 @@ class ExtractionQueriesSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum == expected)
   }
 
+  test("extract_ocr_queue: every queued ref resolves to real PNG bytes, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Extraction.extractOcrQueue(spark, dir).collect()
+    // class-10 PDFs with an image page exist in 200 docs (1/20 pdf, 1/3 image page)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0).startsWith("doc"))
+      assert(r.getLong(1) >= 1) // n_images
+      assert(r.getLong(2) > 50) // real PNG payloads, not empty markers
+    }
+    val again = Extraction.extractOcrQueue(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("media_resize and media_audio_decode contract queries return full media classes") {
     val dir = "/root/testdata/sf0.001"
     val n = Extraction.corpusSize(dir) / 2
