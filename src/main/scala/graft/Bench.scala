@@ -167,15 +167,24 @@ object Bench {
     // apart, sharing the same neighbor-load window.
     val levelN = math.max(cpus / 16, 1)
     val level4N = math.max(cpus / 4, 1)
+    // Affinity pinning (SPARK_GRAFT_PIN=1) confines the JVM to the level's
+    // core budget — conceptually the faithful N-core-executor model (service
+    // threads share the budget) — but measured OPERATIONALLY fragile on this
+    // host: with neighbors present, a pinned level can't migrate off a
+    // stolen CPU and single runs crater unpredictably (22k-78k at 8 cores
+    // in adjacent windows). Default is therefore the unpinned protocol of
+    // rounds 1-2, with window validity enforced by the ambient-CPU check
+    // below instead.
+    val pinLevels = sys.env.get("SPARK_GRAFT_PIN").contains("1")
     def levelRun(cores: Int, warm: Boolean): Double = {
-      pinCpus(cores) // whole-JVM affinity = the level's core budget
+      if (pinLevels) pinCpus(cores)
       try {
         val s = session(cores)
         if (warm) extractionBench(s, math.max(nDocs / 4, 100), cores)
         val sec = extractionBench(s, nDocs, cores)._1
         s.stop()
         nDocs / sec
-      } finally unpinCpus()
+      } finally if (pinLevels) unpinCpus()
     }
     // Optional quiet-window gating for the pair measurements: this host's
     // neighbor tenants burst to loadavg 10-16 on a minutes cadence, and a
@@ -197,21 +206,65 @@ object Bench {
       System.err.println(f"[bench] pair window at loadavg $load%.2f")
     }
 
+    // Ambient-load accounting: loadavg includes the benchmark's own
+    // runnable threads, so window validity is judged by what OTHER tenants
+    // burned during the run — /proc/stat busy jiffies minus this JVM's
+    // process CPU, per second of wall time. A pair is CLEAN when both its
+    // runs saw ambient < 2 cores. With quiet-waiting enabled, dirty pairs
+    // are re-measured (bounded tries) — the selection changes WHEN a pair
+    // runs, never what it runs, and every measured pair's ambient is
+    // reported in the JSON for transparency.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def busyJiffies(): Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum // skip idle+iowait
+      } catch { case _: Exception => 0L }
+    def measuredRun(cores: Int): (Double, Double) = {
+      val b0 = busyJiffies(); val c0 = osBean.getProcessCpuTime; val t0 = System.nanoTime()
+      val thr = levelRun(cores, warm = false)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ambient = math.max(
+        (busyJiffies() - b0) / 100.0 - (osBean.getProcessCpuTime - c0) / 1e9, 0.0) / wall
+      (thr, ambient)
+    }
+
     // a scaling failure is reported AS a failure ("scaling_failed": true,
     // no per-level numbers): synthesizing throughputs here would fabricate
     // perfect-scaling evidence indistinguishable from a real measurement
-    val rounds: Option[Seq[(Double, Double)]] = try {
+    val AmbientCap = 2.0
+    val wantPairs = 4
+    val maxTries = wantPairs * sys.env.getOrElse("SPARK_GRAFT_PAIR_TRIES", "4").toInt
+    val cleanPairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val cleanAmbients = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var rejected = 0
+    val scalingOk = try {
       levelRun(levelN, warm = true)
       levelRun(level4N, warm = true)
-      Some((1 to 4).map { _ =>
+      var tries = 0
+      while (cleanPairs.length < wantPairs && tries < maxTries) {
         waitQuiet()
-        (levelRun(levelN, warm = false), levelRun(level4N, warm = false))
-      })
+        val (a, ambA) = measuredRun(levelN)
+        val (b, ambB) = measuredRun(level4N)
+        tries += 1
+        val amb = math.max(ambA, ambB)
+        if (quietWaitCap == 0 || amb < AmbientCap) {
+          cleanPairs += ((a, b)); cleanAmbients += amb
+        } else {
+          rejected += 1
+          System.err.println(f"[bench] pair rejected: ambient $amb%.1f cores")
+        }
+      }
+      cleanPairs.nonEmpty
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scaling section failed: ${e.getMessage}")
-        None
+        false
     }
+    val rounds: Option[Seq[(Double, Double)]] =
+      if (scalingOk) Some(cleanPairs.toSeq) else None
 
     // Phase 2 (full-width session): per-query timings + headline extraction.
     val spark = session(cpus)
@@ -254,7 +307,7 @@ object Bench {
         val efficiency = pairEffs.max
         val efficiencyConservative = thr4N / (4.0 * thrN)
         val efficiencyHigh = thr16N / (4.0 * thr4N)
-        s"""{"cores_n":$levelN,"cores_4n":$level4N,"docs_per_sec_n":$thrN,"docs_per_sec_4n":$thr4N,"efficiency":$efficiency,"efficiency_estimator":"best same-window pair","efficiency_conservative":$efficiencyConservative,"pair_efficiencies":${pairEffs.mkString("[", ",", "]")},"cores_16n":$cpus,"docs_per_sec_16n":$thr16N,"efficiency_4n_16n":$efficiencyHigh}"""
+        s"""{"cores_n":$levelN,"cores_4n":$level4N,"docs_per_sec_n":$thrN,"docs_per_sec_4n":$thr4N,"efficiency":$efficiency,"efficiency_estimator":"best same-window pair","efficiency_conservative":$efficiencyConservative,"pair_efficiencies":${pairEffs.mkString("[", ",", "]")},"pair_ambient_cores":${cleanAmbients.map(a => f"$a%.2f").mkString("[", ",", "]")},"pairs_rejected_dirty":$rejected,"cores_16n":$cpus,"docs_per_sec_16n":$thr16N,"efficiency_4n_16n":$efficiencyHigh}"""
       case None =>
         """{"scaling_failed":true}"""
     }
