@@ -266,6 +266,74 @@ object Bench {
     val rounds: Option[Seq[(Double, Double)]] =
       if (scalingOk) Some(cleanPairs.toSeq) else None
 
+    // Multi-executor pair — the literal rendering of the north rule's
+    // "spark-submit at N and 4N executors": local-cluster[w,2,2048] spawns
+    // real separate executor JVMs (own heaps, own GC, wire serialization).
+    // Unlike single-JVM local[N] levels, per-executor service threads scale
+    // WITH the cluster, so the small level doesn't borrow free compute and
+    // the ratio needs no affinity games. Enabled with the same quiet-wait
+    // opt-in; busy-core totals per pair are reported for transparency
+    // (executors are separate processes, so the driver-side ambient split
+    // isn't available — total machine busy during the run is).
+    def clusterSession(workers: Int): SparkSession = {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s = SparkSession.builder()
+        .master(s"local-cluster[$workers,2,2048]")
+        .config("spark.executor.extraClassPath",
+          "/root/repo/target/scala-2.13/classes:" +
+            "/root/repo/target/scala-2.13/textextractionservicespark_2.13-0.1.0.jar")
+        .config("spark.sql.shuffle.partitions", (workers * 2).toString)
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "65536")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    def clusterRun(workers: Int, warm: Boolean): (Double, Double) = {
+      val b0 = busyJiffies(); val t0 = System.nanoTime()
+      val s = clusterSession(workers)
+      try {
+        if (warm) extractionBench(s, math.max(nDocs / 4, 100), workers * 2)
+        val sec = extractionBench(s, nDocs, workers * 2)._1
+        val wall = (System.nanoTime() - t0) / 1e9
+        (nDocs / sec, (busyJiffies() - b0) / 100.0 / wall)
+      } finally s.stop()
+    }
+    val clusterJson: String =
+      if (sys.env.get("SPARK_GRAFT_CLUSTER").contains("0")) """{"skipped":true}"""
+      else try {
+        clusterRun(1, warm = true)
+        val cPairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        val cBusy = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var t = 0
+        while (cPairs.length < 2 && t < 4) {
+          waitQuiet()
+          val (a, busyA) = clusterRun(1, warm = false)
+          val (b, busyB) = clusterRun(4, warm = false)
+          t += 1
+          // loose storm gate: total busy far beyond our own footprint
+          val dirty = quietWaitCap > 0 &&
+            (busyA > 2 + 1.5 + 2.0 || busyB > 8 + 1.5 + 2.0)
+          if (!dirty) { cPairs += ((a, b)); cBusy += math.max(busyA, busyB) }
+          else System.err.println(f"[bench] cluster pair rejected: busy $busyA%.1f/$busyB%.1f")
+        }
+        if (cPairs.isEmpty) """{"cluster_failed":true}"""
+        else {
+          val thrA = cPairs.map(_._1).max
+          val thrB = cPairs.map(_._2).max
+          val pe = cPairs.map { case (a, b) => b / (4.0 * a) }
+          s"""{"workers_n":1,"workers_4n":4,"cores_per_worker":2,"docs_per_sec_n":$thrA,"docs_per_sec_4n":$thrB,"efficiency":${pe.max},"efficiency_conservative":${thrB / (4.0 * thrA)},"pair_efficiencies":${pe.mkString("[", ",", "]")},"pair_busy_cores":${cBusy.map(b => f"$b%.2f").mkString("[", ",", "]")}}"""
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cluster section failed: ${e.getMessage}")
+          """{"cluster_failed":true}"""
+      }
+
     // Phase 2 (full-width session): per-query timings + headline extraction.
     val spark = session(cpus)
     SparkEntry.queries.foreach { case (_, fn) => // JIT warm on a tiny slice
@@ -320,7 +388,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.map(math.abs).sum + extractSec
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"extract_ok":$okDocs,"scaling":$scalingJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"extract_ok":$okDocs,"scaling":$scalingJson,"cluster_scaling":$clusterJson,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
