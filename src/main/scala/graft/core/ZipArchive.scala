@@ -49,19 +49,29 @@ object ZipArchive {
 
   private def readCapped(zin: ZipInputStream, name: String): Array[Byte] = {
     val s = scratchTL.get()
-    var len = 0
-    var n = zin.read(s.chunk)
-    while (n >= 0) {
-      if (len + n > s.acc.length) {
-        val grown = math.max(s.acc.length * 2L, len + n.toLong)
-        if (grown > MaxEntryBytes + 8192L) throw new EntryTooBigException(name)
-        s.acc = java.util.Arrays.copyOf(s.acc, grown.toInt)
+    try {
+      var len = 0
+      var n = zin.read(s.chunk)
+      while (n >= 0) {
+        if (len + n > s.acc.length) {
+          // clamp growth to the cap instead of rejecting the doubled size:
+          // doubling from 32 MiB jumps straight past 50 MiB, which would
+          // falsely reject valid 32-50 MiB entries the cap is meant to allow
+          val grown = math.min(
+            math.max(s.acc.length * 2L, len + n.toLong), MaxEntryBytes + 8192L)
+          if (len + n.toLong > grown) throw new EntryTooBigException(name)
+          s.acc = java.util.Arrays.copyOf(s.acc, grown.toInt)
+        }
+        System.arraycopy(s.chunk, 0, s.acc, len, n)
+        len += n
+        if (len > MaxEntryBytes) throw new EntryTooBigException(name)
+        n = zin.read(s.chunk)
       }
-      System.arraycopy(s.chunk, 0, s.acc, len, n)
-      len += n
-      if (len > MaxEntryBytes) throw new EntryTooBigException(name)
-      n = zin.read(s.chunk)
+      java.util.Arrays.copyOf(s.acc, len)
+    } finally {
+      // bound per-thread retention: one near-cap entry would otherwise pin
+      // its ~50 MiB scratch per task thread for the life of the executor
+      if (s.acc.length > (1 << 20)) s.acc = new Array[Byte](16384)
     }
-    java.util.Arrays.copyOf(s.acc, len)
   }
 }

@@ -94,7 +94,14 @@ object PdfImages {
             val h = intOf(f, sd, "Height")
             val ncomp = colorComponents(f, sd)
             val samples = f.decodeStream(sd)
-            if (samples.length < w * h * ncomp) None
+            // long arithmetic: hostile Width/Height dicts (50000×50000)
+            // overflow an Int product to negative, defeating the truncation
+            // guard and letting the BufferedImage allocation OOM the task;
+            // anything above 64 MP is "unsupported raster → skip" like the
+            // rest of this file's contract
+            val pixels = w.toLong * h
+            if (pixels <= 0 || pixels > 64L * 1024 * 1024 ||
+              samples.length < pixels * ncomp) None
             else {
               val img = new java.awt.image.BufferedImage(
                 w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -198,26 +198,35 @@ object ExtractPipeline {
     single.union(salted)
   }
 
-  /** Per-partition metrics (lineage rows): computed over the result with a
-    * plain aggregate — partial aggregation makes this one tiny shuffle.
+  /** Per-partition metrics (lineage rows). Two cascaded aggregates, both
+    * with map-side partial aggregation: (partition, failure_code) counts
+    * first, then a roll-up to one row per partition whose failure map is
+    * O(|codes|) — a `collect_list` of raw failure strings would be unbounded
+    * on a pathological all-failure partition.
     */
   def metrics(result: Dataset[ExtractedDoc], runId: String): Dataset[PartitionMetrics] = {
     val spark = result.sparkSession
     import spark.implicits._
     result
       .withColumn("partition_id", spark_partition_id())
-      .groupBy(col("partition_id"))
+      .groupBy(col("partition_id"), col("failure"))
       .agg(
         count(lit(1)).as("docs"),
         sum(col("bytes")).as("bytes"),
-        sum(size(col("spans"))).as("spans"),
-        collect_list(when(col("failure") =!= "", col("failure"))).as("failure_list"))
+        sum(size(col("spans"))).as("spans"))
+      .groupBy(col("partition_id"))
+      .agg(
+        sum(col("docs")).as("docs"),
+        sum(col("bytes")).as("bytes"),
+        sum(col("spans")).as("spans"),
+        map_from_entries(sort_array(collect_list(
+          when(col("failure") =!= "", struct(col("failure"), col("docs")))
+        ))).as("failures"))
       .map { row =>
-        val fails = row.getAs[scala.collection.Seq[String]]("failure_list")
-          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }.toMap
         PartitionMetrics(runId, row.getAs[Int]("partition_id"),
           row.getAs[Long]("docs"), row.getAs[Long]("bytes"),
-          row.getAs[Long]("spans"), fails)
+          row.getAs[Long]("spans"),
+          row.getAs[Map[String, Long]]("failures"))
       }
   }
 }

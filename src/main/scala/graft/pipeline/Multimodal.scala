@@ -91,29 +91,35 @@ object Multimodal {
     (data, durationMs)
   }
 
+  /** One deterministic media row (pure function of id) — shared by the
+    * distributed [[synthesize]] and the driver-side sequential expectation
+    * loop that oracles the media contract queries.
+    */
+  def synthRow(id: Long): MediaRow = {
+    val ref = s"s3://media/m$id"
+    (id % 3) match {
+      case 0 =>
+        val img = synthImage(id)
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        MediaRow(ref, "image/png", bos.toByteArray,
+          width = img.getWidth, height = img.getHeight, duration_ms = 0)
+      case 1 =>
+        val (wav, durMs) = synthWav(id)
+        MediaRow(ref, "audio/wav", wav, width = 0, height = 0, duration_ms = durMs)
+      case _ =>
+        val (avi, w, h, durMs) = synthAvi(id)
+        MediaRow(ref, "video/avi", avi, width = w, height = h, duration_ms = durMs)
+    }
+  }
+
   /** Deterministic synthetic media table: image rows carry REAL encoded
     * PNG bytes, audio rows REAL PCM WAV bytes, video rows REAL
     * MJPEG-in-AVI containers.
     */
   def synthesize(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(0, n, 1, partitions).map { id =>
-      val ref = s"s3://media/m$id"
-      (id % 3) match {
-        case 0 =>
-          val img = synthImage(id)
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(img, "png", bos)
-          MediaRow(ref, "image/png", bos.toByteArray,
-            width = img.getWidth, height = img.getHeight, duration_ms = 0)
-        case 1 =>
-          val (wav, durMs) = synthWav(id)
-          MediaRow(ref, "audio/wav", wav, width = 0, height = 0, duration_ms = durMs)
-        case _ =>
-          val (avi, w, h, durMs) = synthAvi(id)
-          MediaRow(ref, "video/avi", avi, width = w, height = h, duration_ms = durMs)
-      }
-    }
+    spark.range(0, n, 1, partitions).map(id => synthRow(id))
   }
 
   // ── MJPEG-in-AVI: hand-rolled RIFF writer + walker (same approach as the
@@ -274,6 +280,21 @@ object Multimodal {
     (sumSq, zc, peak)
   }
 
+  /** Per-row WAV kernel — shared by [[decodeAudio]] and the sequential
+    * expectation path.
+    */
+  def decodeAudioRow(m: MediaRow): DecodedAudio =
+    parseWav(m.bytes) match {
+      case Some((sampleRate, channels, samples)) =>
+        val (sumSq, zc, peak) = pcmStats(samples)
+        val rmsX100 = (math.sqrt(sumSq.toDouble / math.max(samples.length, 1)) * 100).toLong
+        DecodedAudio(m.media_ref, sampleRate, channels,
+          samples.length / channels,
+          (samples.length.toLong / channels * 1000 / sampleRate).toInt,
+          rmsX100, zc, peak)
+      case None => DecodedAudio(m.media_ref, 0, 0, 0, 0, 0L, 0, 0)
+    }
+
   /** REAL WAV decode: chunk walk + 16-bit PCM statistics, all integer math
     * (IEEE sqrt is exactly rounded, so the ×100 RMS floor is
     * deterministic). Malformed payloads emit a failure row (channels = 0).
@@ -282,18 +303,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.filter(_.mime.startsWith("audio/")).map { m =>
-        parseWav(m.bytes) match {
-          case Some((sampleRate, channels, samples)) =>
-            val (sumSq, zc, peak) = pcmStats(samples)
-            val rmsX100 = (math.sqrt(sumSq.toDouble / math.max(samples.length, 1)) * 100).toLong
-            DecodedAudio(m.media_ref, sampleRate, channels,
-              samples.length / channels,
-              (samples.length.toLong / channels * 1000 / sampleRate).toInt,
-              rmsX100, zc, peak)
-          case None => DecodedAudio(m.media_ref, 0, 0, 0, 0, 0L, 0, 0)
-        }
-      }
+      it.filter(_.mime.startsWith("audio/")).map(decodeAudioRow _)
     }
   }
 
@@ -321,19 +331,23 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.filter(_.mime.startsWith("image/")).map { m =>
-        try {
-          val img = ImageIO.read(new ByteArrayInputStream(m.bytes))
-          if (img == null) DecodedImage(m.media_ref, -1, -1, 0, 0L)
-          else DecodedImage(m.media_ref, img.getWidth, img.getHeight,
-            channels = img.getColorModel.getNumComponents,
-            pixel_hash = rasterHash(img))
-        } catch {
-          case _: Exception => DecodedImage(m.media_ref, -1, -1, 0, 0L)
-        }
-      }
+      it.filter(_.mime.startsWith("image/")).map(decodeImageRow _)
     }
   }
+
+  /** Per-row image kernel — shared by [[decodeImages]] and the sequential
+    * expectation path.
+    */
+  def decodeImageRow(m: MediaRow): DecodedImage =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(m.bytes))
+      if (img == null) DecodedImage(m.media_ref, -1, -1, 0, 0L)
+      else DecodedImage(m.media_ref, img.getWidth, img.getHeight,
+        channels = img.getColorModel.getNumComponents,
+        pixel_hash = rasterHash(img))
+    } catch {
+      case _: Exception => DecodedImage(m.media_ref, -1, -1, 0, 0L)
+    }
 
   final case class ResizedImage(
       media_ref: String,
@@ -351,34 +365,38 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.filter(_.mime.startsWith("image/")).flatMap { m =>
-        try {
-          val src = ImageIO.read(new ByteArrayInputStream(m.bytes))
-          if (src == null) None
-          else {
-            val scaleNum = math.min(maxDim, math.max(src.getWidth, src.getHeight))
-            val scaleDen = math.max(src.getWidth, src.getHeight)
-            val w = math.max(src.getWidth * scaleNum / scaleDen, 1)
-            val h = math.max(src.getHeight * scaleNum / scaleDen, 1)
-            val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              val sy = y * src.getHeight / h
-              var x = 0
-              while (x < w) {
-                out.setRGB(x, y, src.getRGB(x * src.getWidth / w, sy) & 0xFFFFFF)
-                x += 1
-              }
-              y += 1
-            }
-            val bos = new ByteArrayOutputStream()
-            ImageIO.write(out, "png", bos)
-            Some(ResizedImage(m.media_ref, w, h, bos.toByteArray, rasterHash(out)))
-          }
-        } catch { case _: Exception => None }
-      }
+      it.filter(_.mime.startsWith("image/")).flatMap(resizeImageRow(_, maxDim))
     }
   }
+
+  /** Per-row resize kernel — shared by [[resizeImages]] and the sequential
+    * expectation path.
+    */
+  def resizeImageRow(m: MediaRow, maxDim: Int): Option[ResizedImage] =
+    try {
+      val src = ImageIO.read(new ByteArrayInputStream(m.bytes))
+      if (src == null) None
+      else {
+        val scaleNum = math.min(maxDim, math.max(src.getWidth, src.getHeight))
+        val scaleDen = math.max(src.getWidth, src.getHeight)
+        val w = math.max(src.getWidth * scaleNum / scaleDen, 1)
+        val h = math.max(src.getHeight * scaleNum / scaleDen, 1)
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val sy = y * src.getHeight / h
+          var x = 0
+          while (x < w) {
+            out.setRGB(x, y, src.getRGB(x * src.getWidth / w, sy) & 0xFFFFFF)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        Some(ResizedImage(m.media_ref, w, h, bos.toByteArray, rasterHash(out)))
+      }
+    } catch { case _: Exception => None }
 
   /** Materialize PDF-embedded rasters as MediaRows — the media side of the
     * OCR path (O2): one row per decodable image XObject, `media_ref`
@@ -424,27 +442,31 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.mime.startsWith("video/"))
-      .flatMap { m =>
-        parseAvi(m.bytes) match {
-          case Some((usPerFrame, frames)) if frames.nonEmpty =>
-            val frameMs = math.max(usPerFrame / 1000, 1)
-            val durMs = frames.length * frameMs
-            (0 until durMs by everyMs).iterator.map { t =>
-              val idx = math.min(t / frameMs, frames.length - 1)
-              val img = try ImageIO.read(new ByteArrayInputStream(frames(idx)))
-              catch { case _: Exception => null }
-              if (img == null)
-                (m.media_ref, t, s"${m.media_ref}#t=$t", idx, -1, -1, 0L)
-              else
-                (m.media_ref, t, s"${m.media_ref}#t=$t", idx,
-                  img.getWidth, img.getHeight, rasterHash(img))
-            }
-          case _ =>
-            Iterator((m.media_ref, -1, s"${m.media_ref}#unparseable", -1, -1, -1, 0L))
-        }
-      }
+      .flatMap(m => sampleFrameRows(m, everyMs))
       .toDF("media_ref", "ts_ms", "frame_ref", "frame_idx", "width", "height", "pixel_hash")
   }
+
+  /** Per-row frame-sampling kernel — shared by [[sampleFrames]] and the
+    * sequential expectation path.
+    */
+  def sampleFrameRows(m: MediaRow, everyMs: Int): Iterator[(String, Int, String, Int, Int, Int, Long)] =
+    parseAvi(m.bytes) match {
+      case Some((usPerFrame, frames)) if frames.nonEmpty =>
+        val frameMs = math.max(usPerFrame / 1000, 1)
+        val durMs = frames.length * frameMs
+        (0 until durMs by everyMs).iterator.map { t =>
+          val idx = math.min(t / frameMs, frames.length - 1)
+          val img = try ImageIO.read(new ByteArrayInputStream(frames(idx)))
+          catch { case _: Exception => null }
+          if (img == null)
+            (m.media_ref, t, s"${m.media_ref}#t=$t", idx, -1, -1, 0L)
+          else
+            (m.media_ref, t, s"${m.media_ref}#t=$t", idx,
+              img.getWidth, img.getHeight, rasterHash(img))
+        }
+      case _ =>
+        Iterator((m.media_ref, -1, s"${m.media_ref}#unparseable", -1, -1, -1, 0L))
+    }
 
   /** Feature extraction: REAL 8-dim features everywhere — image pixels via
     * ImageIO, audio via the PCM walk, video via the AVI walk + first-frame

@@ -4,6 +4,20 @@ import graft.pipeline.{Doc, ExtractPipeline, Span, SynthCorpus}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Wide per-media-row expectation record (sequential driver-side kernels;
+  * nulls for non-applicable modalities) — top level because Catalyst's
+  * encoder codegen can't reach object-nested private classes.
+  */
+case class MediaExpect(
+    media_ref: String, mime: String,
+    img_width: Option[Int], img_height: Option[Int],
+    img_channels: Option[Int], img_pixel_hash: Option[Long],
+    rz_width: Option[Int], rz_height: Option[Int], rz_pixel_hash: Option[Long],
+    au_sample_rate: Option[Int], au_channels: Option[Int],
+    au_n_samples: Option[Int], au_duration_ms: Option[Int],
+    au_rms_x100: Option[Long], au_zero_crossings: Option[Int], au_peak: Option[Int],
+    vid_n_frames: Option[Long])
+
 /** The extraction pipeline itself, surfaced through the driver contract.
   * The interleaved-span input table (BASELINE.json input_hint) is
   * synthesized deterministically (seed 42) at a size scaled to the sf dir —
@@ -39,15 +53,90 @@ object Extraction {
   // (salting, chunk merge, shuffle, regroup) against the sequential kernel —
   // exactly the layer the rows-only check couldn't see. Bump the version
   // token whenever generator or kernel semantics change (stale /tmp files).
-  private val ExpectationVersion = "r3"
+  private val ExpectationVersion = "r4"
+
+  /** Gate corpus size, recorded when the queries run (they always run
+    * before [[oracle]] is dumped — Verify writes oracle_sql.json last), so
+    * the oracle paths always point at the same corpus the queries used
+    * instead of a hardcoded 2000-doc path.
+    */
+  @volatile private var gateSize: Long = 2000L
 
   private def expectedPathForSize(n: Long): String =
     s"${sys.props("java.io.tmpdir")}/graft-expected-$ExpectationVersion-$n"
 
+  private def mediaExpectedPathForSize(n: Long): String =
+    s"${sys.props("java.io.tmpdir")}/graft-media-expected-$ExpectationVersion-$n"
+
+  /** One MD5 hex digest (matches Spark's and DuckDB's `md5`). */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Sequential mirror of the curate derivation over one extracted text
+    * (TextAnalysis.withQualityCols / withPredictedLang column formulas,
+    * restated as plain integer Scala): (md5, chars, predicted_lang,
+    * quality_decile). The distributed query recomputes these through
+    * Catalyst HOFs; the DuckDB oracle replays dedup + rollup over THESE
+    * per-doc values — any drift in either layer breaks the hash compare.
+    */
+  private def seqCurate(text: String): (String, Long, String, Long) = {
+    val words = text.split(" ").filter(_.nonEmpty)
+    val nWords = math.max(words.length, 1).toLong
+    val nChars = text.codePointCount(0, text.length).toLong
+    val stripped = text.replaceAll("[A-Za-z0-9 ]", "")
+    val punct = stripped.codePointCount(0, stripped.length) * 10000L / math.max(nChars, 1L)
+    val stops = Set("the", "and", "of", "to", "a", "in", "is", "der", "die",
+      "das", "und", "el", "la", "de")
+    val stop = words.count(stops) * 10000L / nWords
+    val uniq = words.distinct.length * 10000L / nWords
+    val quality = (stop * 3 + uniq * 2 + (10000 - punct) * 5) / 10
+    val decile = math.min(math.max(quality / 1000, 0L), 9L)
+    val en = Set("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")
+    val de = Set("der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein")
+    val es = Set("el", "la", "de", "que", "y", "en", "los", "se", "del", "un")
+    val fr = Set("le", "la", "les", "et", "des", "un", "une", "du", "dans", "est")
+    val (sEn, sDe, sEs, sFr) = (words.count(en), words.count(de), words.count(es), words.count(fr))
+    val lang =
+      if (sEn >= math.max(sDe, math.max(sEs, sFr))) "en"
+      else if (sDe >= math.max(sEs, sFr)) "de"
+      else if (sEs >= sFr) "es"
+      else "fr"
+    (md5hex(text), nChars, lang, decile)
+  }
+
+  /** Sequential mirror of the OCR-queue join for one doc: (matched image
+    * count, total PNG bytes) — kernel media refs resolved against a
+    * sequentially-materialized ref→bytes map (same per-payload
+    * [[graft.core.pdf.PdfImages.extractAll]] kernel the distributed
+    * pipeline runs; the distribution — semi-join, byte stage, equi-join —
+    * is what the oracle then actually checks).
+    */
+  private def seqOcr(doc: Doc, kernelRefs: Seq[String]): (Long, Long) = {
+    val pdfRefs = kernelRefs.filter(_.startsWith("pdf:"))
+    if (pdfRefs.isEmpty) return (0L, 0L)
+    val byteMap = scala.collection.mutable.HashMap.empty[String, Long]
+    doc.spans.filter(s => s.kind == "pdf" || s.kind == "bin").foreach { s =>
+      val payload = graft.core.Extractor.decodePayload(s.text)
+      if (graft.core.Extractor.sniff(payload) == "pdf") {
+        try graft.core.pdf.PdfImages.extractAll(payload).foreach {
+          case (p, name, ext, _, bytes) =>
+            byteMap(s"pdf:${doc.doc_id}/page$p/$name.$ext") = bytes.length.toLong
+        } catch { case _: Exception => }
+      }
+    }
+    val matched = pdfRefs.filter(byteMap.contains)
+    (matched.size.toLong, matched.map(byteMap).sum)
+  }
+
   /** Write the expectation parquet for this sf dir if absent (idempotent;
-    * Bench calls it untimed so contract-query timings stay pure).
+    * Bench calls it untimed so contract-query timings stay pure). One row
+    * per doc = the single-doc, unsalted kernel run plus the sequential
+    * curate/OCR/salting mirrors — every extract_* oracle reads this table.
     */
   def ensureExpectation(spark: SparkSession, dir: String): String = synchronized {
+    gateSize = corpusSize(dir)
     val path = expectedPathForSize(corpusSize(dir))
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       import spark.implicits._
@@ -57,15 +146,69 @@ object Extraction {
           val r = graft.core.Extractor.extract(d.doc_id,
             sorted.map(s => graft.core.Extractor.Span(s.kind, s.text, s.media_ref, s.offset)),
             DemoCfg.extractor)
+          val nChunks = ExtractPipeline.splitChunks(d, DemoCfg).length
+          val curate: Option[(String, Long, String, Long)] =
+            if (r.failure.nonEmpty) None
+            else Some(seqCurate(r.spans.iterator.filter(_.kind == "text").map(_.text).mkString("\n")))
+          val (ocrImages, ocrBytes) =
+            if (r.failure.nonEmpty) (0L, 0L)
+            else seqOcr(d, r.spans.collect { case s if s.kind == "media" => s.mediaRef })
           (d.doc_id, r.spans.size.toLong,
             r.spans.iterator.map(_.text.length.toLong).sum,
             r.spans.count(_.kind == "media").toLong,
             r.failure,
             sorted.filter(_.kind == "media").map(_.media_ref).mkString("|"),
-            r.spans.filter(_.kind == "media").map(_.mediaRef).mkString("|"))
+            r.spans.filter(_.kind == "media").map(_.mediaRef).mkString("|"),
+            nChunks,
+            curate.map(_._1), curate.map(_._2), curate.map(_._3), curate.map(_._4),
+            ocrImages, ocrBytes)
         }
-        .toDF("doc_id", "n_spans", "n_chars", "n_media", "failure", "in_refs", "out_refs")
+        .toDF("doc_id", "n_spans", "n_chars", "n_media", "failure", "in_refs",
+          "out_refs", "n_chunks", "text_md5", "curate_chars", "predicted_lang",
+          "quality_decile", "ocr_n_images", "ocr_png_bytes")
         .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Sequential media expectation: a DRIVER-SIDE loop over the same
+    * deterministic media rows, running the same per-row kernels the
+    * distributed media queries run via mapPartitions — the oracle then
+    * verifies the Spark plumbing (partitioned synth, per-partition decode,
+    * aggregation) against a plain single-threaded execution.
+    */
+  def ensureMediaExpectation(spark: SparkSession, dir: String): String = synchronized {
+    gateSize = corpusSize(dir)
+    val n = corpusSize(dir) / 2
+    val path = mediaExpectedPathForSize(n)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      import spark.implicits._
+      import graft.pipeline.Multimodal
+      val rows = (0L until n).map { id =>
+        val m = Multimodal.synthRow(id)
+        val base = MediaExpect(m.media_ref, m.mime,
+          None, None, None, None, None, None, None,
+          None, None, None, None, None, None, None, None)
+        if (m.mime.startsWith("image/")) {
+          val di = Multimodal.decodeImageRow(m)
+          val rz = Multimodal.resizeImageRow(m, maxDim = 12)
+          base.copy(
+            img_width = Some(di.width), img_height = Some(di.height),
+            img_channels = Some(di.channels), img_pixel_hash = Some(di.pixel_hash),
+            rz_width = rz.map(_.width), rz_height = rz.map(_.height),
+            rz_pixel_hash = rz.map(_.pixel_hash))
+        } else if (m.mime.startsWith("audio/")) {
+          val da = Multimodal.decodeAudioRow(m)
+          base.copy(
+            au_sample_rate = Some(da.sample_rate), au_channels = Some(da.channels),
+            au_n_samples = Some(da.n_samples), au_duration_ms = Some(da.duration_ms),
+            au_rms_x100 = Some(da.rms_x100), au_zero_crossings = Some(da.zero_crossings),
+            au_peak = Some(da.peak))
+        } else
+          base.copy(vid_n_frames =
+            Some(Multimodal.sampleFrameRows(m, everyMs = 10000).size.toLong))
+      }
+      spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(path)
     }
     path
   }
@@ -129,6 +272,7 @@ object Extraction {
     */
   def extractSaltSpread(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    ensureExpectation(spark, dir)
     val corpus = SynthCorpus.generate(spark, corpusSize(dir), seed = 42L)
     corpus.flatMap(d => ExtractPipeline.splitChunks(d, DemoCfg))
       .map(c => (c.nChunks > 1, c.salt))
@@ -150,6 +294,7 @@ object Extraction {
   def extractCurate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    ensureExpectation(spark, dir)
     val texts = extracted(spark, dir)
       .filter(_.failure == "")
       .map(d => (d.doc_id,
@@ -184,6 +329,7 @@ object Extraction {
     */
   def extractOcrQueue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    ensureExpectation(spark, dir)
     val corpus = SynthCorpus.generate(spark, corpusSize(dir), seed = 42L)
     val refs = ExtractPipeline.extract(corpus, DemoCfg)
       .filter(_.failure == "")
@@ -207,7 +353,7 @@ object Extraction {
     * because PNG is lossless — but not SQL-expressible in DuckDB).
     */
   def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    ensureMediaExpectation(spark, dir)
     val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
     graft.pipeline.Multimodal.decodeImages(media)
       .toDF().orderBy(col("media_ref"))
@@ -217,6 +363,7 @@ object Extraction {
     * statistics are not DuckDB-expressible over binary payloads).
     */
   def mediaAudio(spark: SparkSession, dir: String): DataFrame = {
+    ensureMediaExpectation(spark, dir)
     val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
     graft.pipeline.Multimodal.decodeAudio(media)
       .toDF().orderBy(col("media_ref"))
@@ -224,6 +371,7 @@ object Extraction {
 
   /** Real nearest-neighbor resize over the media table (rows-only). */
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    ensureMediaExpectation(spark, dir)
     val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
     graft.pipeline.Multimodal.resizeImages(media, maxDim = 12)
       .toDF().select(col("media_ref"), col("width"), col("height"), col("pixel_hash"))
@@ -231,6 +379,7 @@ object Extraction {
   }
 
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    ensureMediaExpectation(spark, dir)
     val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
     graft.pipeline.Multimodal.sampleFrames(media, everyMs = 10000)
       .groupBy(col("media_ref")).agg(count(lit(1)).as("n_frames"))
@@ -250,13 +399,15 @@ object Extraction {
     "media_frame_sample" -> (mediaFrames _)
   )
 
-  // The correctness gate runs at sf0.01 (2000 docs) — the oracle SQL bakes
-  // that path; the queries write it via ensureExpectation before the driver's
-  // DuckDB ever runs. Remaining entries (salt spread, media decode paths)
-  // are genuinely non-SQL-expressible and stay rows-only with ScalaTest
-  // golden/property backing.
-  val oracle: Map[String, String] = {
-    val exp = s"'${expectedPathForSize(2000L)}/*.parquet'"
+  // Every extraction/media query is oracled against the expectation
+  // parquets (sequential kernels / driver-side loops) — the DuckDB compare
+  // then verifies the DISTRIBUTED layer: salting, chunk merge, semi-joins,
+  // per-partition decode, aggregation. The paths derive from the gate size
+  // the queries actually ran at (`gateSize`, set by ensureExpectation —
+  // queries always run before Verify dumps this map).
+  def oracle: Map[String, String] = {
+    val exp = s"'${expectedPathForSize(gateSize)}/*.parquet'"
+    val mexp = s"'${mediaExpectedPathForSize(gateSize / 2)}/*.parquet'"
     Map(
       "extract_pipeline" ->
         s"""SELECT doc_id, n_spans, n_chars, n_media, failure
@@ -267,7 +418,45 @@ object Extraction {
             FROM $exp GROUP BY 1 ORDER BY code""",
       "extract_media_passthrough" ->
         s"""SELECT (in_refs = out_refs) AS refs_preserved, COUNT(*) AS docs
-            FROM $exp WHERE failure = '' GROUP BY 1 ORDER BY 1"""
+            FROM $exp WHERE failure = '' GROUP BY 1 ORDER BY 1""",
+      // salting replay: a doc split into k chunks occupies salts 0..k−1
+      "extract_salt_spread" ->
+        s"""SELECT n_chunks > 1 AS is_mega, CAST(salt AS INT) AS salt,
+              COUNT(*) AS chunks
+            FROM (SELECT n_chunks, unnest(range(n_chunks)) AS salt FROM $exp)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+      // dedup + rollup replayed in SQL over the sequential per-doc fields
+      "extract_curate" ->
+        s"""SELECT predicted_lang, quality_decile, COUNT(*) AS docs,
+              CAST(SUM(curate_chars) AS BIGINT) AS chars
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY text_md5
+                    ORDER BY CAST(substring(doc_id, 4, 12) AS BIGINT)) AS rn
+                  FROM $exp WHERE failure = '' AND curate_chars > 0)
+            WHERE rn = 1
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+      "extract_ocr_queue" ->
+        s"""SELECT doc_id, ocr_n_images AS n_images, ocr_png_bytes AS bytes
+            FROM $exp WHERE ocr_n_images > 0
+            ORDER BY CAST(substring(doc_id, 4, 12) AS BIGINT)""",
+      "media_decode" ->
+        s"""SELECT media_ref, img_width AS width, img_height AS height,
+              img_channels AS channels, img_pixel_hash AS pixel_hash
+            FROM $mexp WHERE mime LIKE 'image/%' ORDER BY media_ref""",
+      "media_resize" ->
+        s"""SELECT media_ref, rz_width AS width, rz_height AS height,
+              rz_pixel_hash AS pixel_hash
+            FROM $mexp WHERE mime LIKE 'image/%' AND rz_width IS NOT NULL
+            ORDER BY media_ref""",
+      "media_audio_decode" ->
+        s"""SELECT media_ref, au_sample_rate AS sample_rate,
+              au_channels AS channels, au_n_samples AS n_samples,
+              au_duration_ms AS duration_ms, au_rms_x100 AS rms_x100,
+              au_zero_crossings AS zero_crossings, au_peak AS peak
+            FROM $mexp WHERE mime LIKE 'audio/%' ORDER BY media_ref""",
+      "media_frame_sample" ->
+        s"""SELECT media_ref, vid_n_frames AS n_frames
+            FROM $mexp WHERE mime LIKE 'video/%' ORDER BY media_ref"""
     )
   }
 }

@@ -114,18 +114,99 @@ object TextAnalysis {
         count(lit(1)).as("tokens"))
       .orderBy(col("source"))
 
+  // ── boilerplate stripping (north-star additive capability) ───────────────
+  // The block classifier isn't SQL-expressible, so the oracle follows the
+  // extraction-envelope pattern: a deterministic HTML wrap of each document,
+  // stripped SEQUENTIALLY via graft.core.Boilerplate.extractContent into an
+  // expectation parquet; the contract query strips the same HTML through the
+  // codegen'd strip_boilerplate Catalyst expression — the DuckDB compare
+  // verifies the expression + distributed plumbing against the plain JVM
+  // call.
+
+  /** Deterministic boilerplate-heavy HTML wrap of a document (pure function
+    * — shared by the query and the expectation writer). Chrome: link-only
+    * nav, header, link-dense aside, footer; content: the document text in
+    * 40-word paragraphs. Text is injected raw (no escaping) on purpose —
+    * the tolerant tokenizer must survive arbitrary corpus bytes.
+    */
+  private[queries] def htmlWrap(docId: String, source: String, text: String): String = {
+    val paras = text.split(" ").filter(_.nonEmpty).grouped(40)
+      .map(ws => s"<p>${ws.mkString(" ")}</p>").mkString("\n")
+    val nav = (0 until 6).map(i => s"""<a href="/$source/$i">$source link $i</a>""").mkString(" | ")
+    s"""<html><head><title>$docId</title><style>body{margin:0}</style></head><body>
+       |<nav>$nav</nav>
+       |<header><h1>$docId on $source</h1></header>
+       |<div id="main">$paras</div>
+       |<aside><a href="/rel">related</a> <a href="/sh">share</a> <a href="/pr">print</a></aside>
+       |<footer>© $source — <a href="/privacy">privacy</a> <a href="/terms">terms</a></footer>
+       |</body></html>""".stripMargin
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  @volatile private var bpGateDir: String = "/root/testdata/sf0.01"
+
+  private def bpExpectedPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-bp-expected-r4-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** Sequential strip per doc → expectation parquet (idempotent). */
+  def ensureBoilerplateExpectation(spark: SparkSession, dir: String): String = synchronized {
+    bpGateDir = dir
+    val path = bpExpectedPath(dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      import spark.implicits._
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(String, String, String)]
+        .map { case (id, src, text) =>
+          val content = graft.core.Boilerplate.extractContent(htmlWrap(id, src, text))
+          (id, md5hex(content), content.codePointCount(0, content.length))
+        }
+        .toDF("doc_id", "content_md5", "content_chars")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Contract query: HTML wrap → codegen'd strip_boilerplate → content
+    * digest + size per doc. One narrow projection over the scan; the
+    * expression evaluates once per output column via a subexpression-
+    * eliminated local.
+    */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ensureBoilerplateExpectation(spark, dir)
+    val stripped = graft.functions.SpanExpressions.strip_boilerplate(col("html"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(String, String, String)]
+      .map { case (id, src, text) => (id, htmlWrap(id, src, text)) }
+      .toDF("doc_id", "html")
+      .select(col("doc_id"),
+        md5(stripped).as("content_md5"),
+        length(stripped).as("content_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab" -> (textVocab _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
-    "text_fingerprint" -> (textFingerprint _)
+    "text_fingerprint" -> (textFingerprint _),
+    "text_boilerplate" -> (textBoilerplate _)
   )
 
   private val WordsSql = "list_filter(string_split(text, ' '), w -> w <> '')"
   private val WhSql = "CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)"
 
-  val oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = Map(
+    "text_boilerplate" ->
+      s"""SELECT doc_id, content_md5, content_chars
+          FROM '${bpExpectedPath(bpGateDir)}/*.parquet' ORDER BY doc_id""",
     "text_vocab" ->
       s"""SELECT source, COUNT(DISTINCT w) AS vocab, COUNT(*) AS tokens
           FROM (SELECT source, unnest($WordsSql) AS w FROM documents) t
