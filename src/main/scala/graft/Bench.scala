@@ -155,6 +155,10 @@ object Bench {
     val spark0 = session(cpus)
     try queries.Extraction.ensureExpectation(spark0, sfDir)
     catch { case _: Throwable => }
+    try queries.Extraction.ensureMediaExpectation(spark0, sfDir)
+    catch { case _: Throwable => }
+    try queries.TextAnalysis.ensureBoilerplateExpectation(spark0, sfDir)
+    catch { case _: Throwable => }
     extractionBench(spark0, nDocs, cpus) // full-size gen + JIT warm
     spark0.stop()
 
@@ -291,6 +295,121 @@ object Bench {
         ambient: Option[Double], validated: Boolean) {
       def eff: Double = thr4N / (4.0 * thrN)
     }
+    // Multi-executor pair — the literal rendering of the north rule's
+    // "spark-submit at N and 4N executors": local-cluster[w,2,2048] spawns
+    // real separate executor JVMs (own heaps, own GC, wire serialization).
+    // Unlike single-JVM local[N] levels, per-executor service threads scale
+    // WITH the cluster, so the small level doesn't borrow free compute and
+    // the ratio needs no affinity games. Enabled with the same quiet-wait
+    // opt-in; busy-core totals per pair are reported for transparency
+    // (executors are separate processes, so the driver-side ambient split
+    // isn't available — total machine busy during the run is).
+    def clusterSession(workers: Int): SparkSession = {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s = SparkSession.builder()
+        .master(s"local-cluster[$workers,2,2048]")
+        .config("spark.executor.extraClassPath",
+          "/root/repo/target/scala-2.13/classes:" +
+            "/root/repo/target/scala-2.13/textextractionservicespark_2.13-0.1.0.jar")
+        // wait for EVERY executor before the first job: local-cluster
+        // registration is asynchronous, and a job submitted right after
+        // getOrCreate otherwise lands on whichever subset has registered —
+        // measured as the 4-worker level running 2.5× SLOWER than 1 worker
+        // (round-3 driver artifact 0.11, round-4 first attempt 0.10)
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+        .config("spark.sql.shuffle.partitions", (workers * 2).toString)
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "65536")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    /** (throughput, total machine busy cores during the run — None when
+      * /proc/stat is unreadable). Executors are separate processes, so the
+      * driver-side own-CPU split of `measuredRun` isn't available; the gate
+      * below budgets for our own footprint instead.
+      */
+    def clusterRun(workers: Int, warmFrac: Int): (Double, Option[Double], Int) = {
+      val s = clusterSession(workers)
+      try {
+        // ALWAYS warm inside the fresh session (executor JIT + scan code
+        // paths + a second registration backstop) — only the run after the
+        // warm job is timed; busy accounting starts with the timed run
+        extractionBench(s, math.max(nDocs / warmFrac, 100), workers * 2)
+        val execs = s.sparkContext.statusTracker.getExecutorInfos.length - 1
+        val b0 = busyJiffies(); val t0 = System.nanoTime()
+        val sec = extractionBench(s, nDocs, workers * 2)._1
+        val wall = (System.nanoTime() - t0) / 1e9
+        val b1 = busyJiffies()
+        val busy = if (b0 >= 0 && b1 >= 0) Some((b1 - b0) / 100.0 / wall) else None
+        System.err.println(f"[bench] cluster run workers=$workers execs=$execs " +
+          f"thr=${nDocs / sec}%.0f busy=${busy.getOrElse(-1.0)}%.1f")
+        (nDocs / sec, busy, execs)
+      } finally s.stop()
+    }
+    val clusterJson: String =
+      if (sys.env.get("SPARK_GRAFT_CLUSTER").contains("0")) """{"skipped":true}"""
+      else try {
+        val cAccepted = scala.collection.mutable.ArrayBuffer.empty[ScalePair]
+        var cRejDirty = 0
+        var cRejImplausible = 0
+        var t = 0
+        val clusterDeadline = System.nanoTime() + 600 * 1_000_000_000L
+        while (cAccepted.length < 2 && t < 6 && System.nanoTime() < clusterDeadline) {
+          waitQuiet()
+          val (a, busyA, execsA) = clusterRun(1, warmFrac = 8)
+          val (b, busyB, execsB) = clusterRun(4, warmFrac = 8)
+          t += 1
+          val eff = b / (4.0 * a)
+          // storm gate, UNCONDITIONAL (round-3 verdict: gating behind
+          // quiet-wait published 0.11 from a window with 8.7 ambient
+          // cores): total busy beyond own-footprint budget (workers×2
+          // executor cores + ~1.5 driver) + 2 ambient allowance.
+          val busyKnown = busyA.isDefined && busyB.isDefined
+          val dirty = busyA.exists(_ > 2 + 1.5 + 2.0) || busyB.exists(_ > 8 + 1.5 + 2.0)
+          val busy = (busyA.toSeq ++ busyB.toSeq).maxOption
+          // a level that lost executors (registration failure, launch
+          // exhaustion) measures the failure, not the engine
+          if (execsA < 1 || execsB < 4) {
+            cRejDirty += 1
+            System.err.println(s"[bench] cluster pair rejected degraded: execs $execsA/$execsB")
+          } else if (eff > MaxPlausibleEff) {
+            cRejImplausible += 1
+            System.err.println(f"[bench] cluster pair rejected implausible: eff $eff%.2f")
+          } else if (dirty) {
+            cRejDirty += 1
+            System.err.println(f"[bench] cluster pair rejected dirty: busy ${busy.get}%.1f")
+          } else if (!busyKnown && eff < 0.3) {
+            cRejDirty += 1
+            System.err.println(f"[bench] cluster pair rejected suspect: eff $eff%.2f, busy unknown")
+          } else cAccepted += ScalePair(a, b, busy, busyKnown)
+        }
+        if (cAccepted.isEmpty)
+          s"""{"cluster_failed":true,"pairs_rejected_dirty":$cRejDirty,"pairs_rejected_implausible":$cRejImplausible}"""
+        else {
+          val best = cAccepted.maxBy(_.eff)
+          val pe = cAccepted.map(_.eff)
+          val busyJson = cAccepted.map(_.ambient.map(b => f"$b%.2f").getOrElse("null"))
+            .mkString("[", ",", "]")
+          s"""{"workers_n":1,"workers_4n":4,"cores_per_worker":2,"docs_per_sec_n":${best.thrN},"docs_per_sec_4n":${best.thr4N},"efficiency":${math.min(pe.max, 1.0)},"efficiency_conservative":${cAccepted.map(_.thr4N).max / (4.0 * cAccepted.map(_.thrN).max)},"pair_efficiencies":${pe.mkString("[", ",", "]")},"pair_busy_cores":$busyJson,"pairs_validated":${cAccepted.count(_.validated)},"pairs_rejected_dirty":$cRejDirty,"pairs_rejected_implausible":$cRejImplausible}"""
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cluster section failed: ${e.getMessage}")
+          """{"cluster_failed":true}"""
+      }
+
+    // Single-JVM pairs run AFTER the cluster section: the cluster pairs are
+    // the fragile measurement (multi-process, slow sessions) and this
+    // host's neighbor storms reliably arrive a few minutes after the lull
+    // the bench launches in — round-4 attempts that ran the cluster block
+    // second had its window eaten by the storm cycle every time, while the
+    // single-JVM pairs accept cleanly in any reasonable window.
     val accepted = scala.collection.mutable.ArrayBuffer.empty[ScalePair]
     var rejectedDirty = 0
     var rejectedImplausible = 0
@@ -329,98 +448,6 @@ object Bench {
     }
     val rounds: Option[Seq[ScalePair]] =
       if (scalingOk) Some(accepted.toSeq) else None
-
-    // Multi-executor pair — the literal rendering of the north rule's
-    // "spark-submit at N and 4N executors": local-cluster[w,2,2048] spawns
-    // real separate executor JVMs (own heaps, own GC, wire serialization).
-    // Unlike single-JVM local[N] levels, per-executor service threads scale
-    // WITH the cluster, so the small level doesn't borrow free compute and
-    // the ratio needs no affinity games. Enabled with the same quiet-wait
-    // opt-in; busy-core totals per pair are reported for transparency
-    // (executors are separate processes, so the driver-side ambient split
-    // isn't available — total machine busy during the run is).
-    def clusterSession(workers: Int): SparkSession = {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      val s = SparkSession.builder()
-        .master(s"local-cluster[$workers,2,2048]")
-        .config("spark.executor.extraClassPath",
-          "/root/repo/target/scala-2.13/classes:" +
-            "/root/repo/target/scala-2.13/textextractionservicespark_2.13-0.1.0.jar")
-        .config("spark.sql.shuffle.partitions", (workers * 2).toString)
-        .config("spark.sql.files.maxPartitionBytes", "2m")
-        .config("spark.sql.files.openCostInBytes", "65536")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
-    /** (throughput, total machine busy cores during the run — None when
-      * /proc/stat is unreadable). Executors are separate processes, so the
-      * driver-side own-CPU split of `measuredRun` isn't available; the gate
-      * below budgets for our own footprint instead.
-      */
-    def clusterRun(workers: Int, warm: Boolean): (Double, Option[Double]) = {
-      val b0 = busyJiffies(); val t0 = System.nanoTime()
-      val s = clusterSession(workers)
-      try {
-        if (warm) extractionBench(s, math.max(nDocs / 4, 100), workers * 2)
-        val sec = extractionBench(s, nDocs, workers * 2)._1
-        val wall = (System.nanoTime() - t0) / 1e9
-        val b1 = busyJiffies()
-        val busy = if (b0 >= 0 && b1 >= 0) Some((b1 - b0) / 100.0 / wall) else None
-        (nDocs / sec, busy)
-      } finally s.stop()
-    }
-    val clusterJson: String =
-      if (sys.env.get("SPARK_GRAFT_CLUSTER").contains("0")) """{"skipped":true}"""
-      else try {
-        clusterRun(1, warm = true)
-        val cAccepted = scala.collection.mutable.ArrayBuffer.empty[ScalePair]
-        var cRejDirty = 0
-        var cRejImplausible = 0
-        var t = 0
-        val clusterDeadline = System.nanoTime() + 600 * 1_000_000_000L
-        while (cAccepted.length < 2 && t < 6 && System.nanoTime() < clusterDeadline) {
-          waitQuiet()
-          val (a, busyA) = clusterRun(1, warm = false)
-          val (b, busyB) = clusterRun(4, warm = false)
-          t += 1
-          val eff = b / (4.0 * a)
-          // storm gate, UNCONDITIONAL (round-3 verdict: gating behind
-          // quiet-wait published 0.11 from a window with 8.7 ambient
-          // cores): total busy beyond own-footprint budget (workers×2
-          // executor cores + ~1.5 driver) + 2 ambient allowance.
-          val busyKnown = busyA.isDefined && busyB.isDefined
-          val dirty = busyA.exists(_ > 2 + 1.5 + 2.0) || busyB.exists(_ > 8 + 1.5 + 2.0)
-          val busy = (busyA.toSeq ++ busyB.toSeq).maxOption
-          if (eff > MaxPlausibleEff) {
-            cRejImplausible += 1
-            System.err.println(f"[bench] cluster pair rejected implausible: eff $eff%.2f")
-          } else if (dirty) {
-            cRejDirty += 1
-            System.err.println(f"[bench] cluster pair rejected dirty: busy ${busy.get}%.1f")
-          } else if (!busyKnown && eff < 0.3) {
-            cRejDirty += 1
-            System.err.println(f"[bench] cluster pair rejected suspect: eff $eff%.2f, busy unknown")
-          } else cAccepted += ScalePair(a, b, busy, busyKnown)
-        }
-        if (cAccepted.isEmpty)
-          s"""{"cluster_failed":true,"pairs_rejected_dirty":$cRejDirty,"pairs_rejected_implausible":$cRejImplausible}"""
-        else {
-          val best = cAccepted.maxBy(_.eff)
-          val pe = cAccepted.map(_.eff)
-          val busyJson = cAccepted.map(_.ambient.map(b => f"$b%.2f").getOrElse("null"))
-            .mkString("[", ",", "]")
-          s"""{"workers_n":1,"workers_4n":4,"cores_per_worker":2,"docs_per_sec_n":${best.thrN},"docs_per_sec_4n":${best.thr4N},"efficiency":${math.min(pe.max, 1.0)},"efficiency_conservative":${cAccepted.map(_.thr4N).max / (4.0 * cAccepted.map(_.thrN).max)},"pair_efficiencies":${pe.mkString("[", ",", "]")},"pair_busy_cores":$busyJson,"pairs_validated":${cAccepted.count(_.validated)},"pairs_rejected_dirty":$cRejDirty,"pairs_rejected_implausible":$cRejImplausible}"""
-        }
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] cluster section failed: ${e.getMessage}")
-          """{"cluster_failed":true}"""
-      }
 
     // Phase 2 (full-width session): per-query timings + headline extraction.
     val spark = session(cpus)

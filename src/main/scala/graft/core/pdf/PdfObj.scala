@@ -258,6 +258,14 @@ final class PdfLexer(val data: Array[Byte], var pos: Int) {
     val start = pos
     while (pos < data.length && !ws(data(pos)) && !delim(data(pos))) pos += 1
     val end = pos
+    if (end == start) {
+      // stray delimiter in object position (')', '>', '{', '}' — seen in
+      // corrupt files): consume it and move on. Without the consume this
+      // returned a zero-width token, and enclosing array/dict loops made no
+      // progress — an infinite append that OOMed the task on fuzzed input.
+      pos += 1
+      return PdfNull
+    }
     if (tokenIs(start, end, "true")) return PdfBool(true)
     if (tokenIs(start, end, "false")) return PdfBool(false)
     if (tokenIs(start, end, "null")) return PdfNull

@@ -34,7 +34,15 @@ object ExtractPipeline {
         * (e.g. one giant row group of mega docs). The salted minority
         * always shuffles — that's the point of salting.
         */
-      repartitionSingles: Boolean = false)
+      repartitionSingles: Boolean = false,
+      /** Route EVERY doc through the salt shuffle in one input scan instead
+        * of the default two-branch plan (unsalted majority fused over the
+        * scan + salted minority through the shuffle). Trade measured at
+        * bench scale (see BASELINE.md): single-scan reads the input once
+        * but pays two full-corpus shuffles (chunk spread + regroup);
+        * dual-branch reads twice but shuffles only the mega minority.
+        */
+      singleScan: Boolean = false)
 
   /** Salted unit of work: one doc, or one contiguous chunk of a mega-doc's
     * spans.
@@ -153,6 +161,29 @@ object ExtractPipeline {
   def extract(input: Dataset[Doc], cfg: PipelineConfig = PipelineConfig()): Dataset[ExtractedDoc] = {
     val spark = input.sparkSession
     import spark.implicits._
+
+    // Single-scan variant: chunk everything (singles become their own
+    // 1-chunk unit), spread by (doc_id, salt), extract, regroup. One input
+    // scan, but 100% of corpus bytes cross the chunk-spread shuffle and
+    // every doc pays the regroup. MEASURED (DevSaltCompare, BASELINE.md r4):
+    // ~11% FASTER than dual-branch at local[32] on the bench corpus —
+    // in-process shuffle is nearly free, so the saved second scan wins.
+    // Dual-branch stays the default anyway because the decision variable at
+    // real scale is network topology, not local CPU: single-scan moves
+    // ~2× corpus bytes through shuffle (network + shuffle-file disk) while
+    // dual re-reads a columnar, pushdown-pruned scan from a
+    // throughput-optimized store and shuffles only the mega minority.
+    // Flip cfg.singleScan per source: one-pass wins when the input is
+    // per-GET-expensive or the cluster fabric outruns the store.
+    if (cfg.singleScan) {
+      return input
+        .flatMap(d => splitChunks(d, cfg))
+        .repartition(cfg.numPartitions, col("doc_id"), col("salt"))
+        .as[Chunk]
+        .mapPartitions(it => it.map(c => extractChunk(c, cfg)))
+        .groupByKey(_.doc_id)
+        .mapGroups((id, it) => mergeChunks(id, it.toSeq))
+    }
 
     // Routing happens on a COLUMN expression before any deserialization, and
     // before the expensive kernel — each branch extracts only its own rows.

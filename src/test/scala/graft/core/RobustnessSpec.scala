@@ -89,6 +89,56 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  private def assertNeverThrows(id: String, payload: Array[Byte]): Unit = {
+    val r = Extractor.extract(id,
+      Seq(Extractor.Span("pdf", java.util.Base64.getEncoder.encodeToString(payload), "", 0)))
+    assert(r != null)
+    if (r.failure.nonEmpty)
+      assert(Set("zero_size", "too_large", "unknown_format", "parse_error",
+        "content_not_found", "encrypted", "limit_exceeded").contains(r.failure), r.failure)
+  }
+
+  test("bit-flipped xref-TABLE PDFs classify, never throw (tail-biased flips)") {
+    // a corrupt shard at corpus scale must yield failure rows, not task
+    // aborts; half the flips land in the last 200 bytes, where the xref
+    // table, trailer, and startxref live
+    val pdf = graft.core.pdf.PdfBuilder.build(
+      (0 until 3).map(p => (0 until 4).map(i =>
+        graft.core.pdf.PdfBuilder.Line(s"page $p line $i with content", 50, 700 - i * 20))),
+      title = "fuzz target", withImagePage = true)
+    val rnd = new scala.util.Random(4321)
+    for (trial <- 0 until 200) {
+      val m = pdf.clone()
+      for (_ <- 0 to rnd.nextInt(8)) {
+        val pos =
+          if (rnd.nextBoolean()) m.length - 1 - rnd.nextInt(math.min(200, m.length))
+          else rnd.nextInt(m.length)
+        m(pos) = (m(pos) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      assertNeverThrows(s"flip$trial", m)
+    }
+  }
+
+  test("bit-flipped xref-STREAM PDFs classify, never throw") {
+    // the compressed-xref path: predictor decode, ObjStm indirection
+    val pdf = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/pkg/pdflibwrappers/testdata/2000001.pdf"))
+    val rnd = new scala.util.Random(8765)
+    for (trial <- 0 until 120) {
+      val m = pdf.clone()
+      for (_ <- 0 to rnd.nextInt(6)) {
+        val pos =
+          if (rnd.nextBoolean()) m.length - 1 - rnd.nextInt(math.min(400, m.length))
+          else rnd.nextInt(m.length)
+        m(pos) = (m(pos) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      assertNeverThrows(s"xs$trial", m)
+    }
+    // truncations of the xref-stream fixture
+    for (len <- Seq(16, 200, pdf.length / 3, pdf.length / 2, pdf.length - 7))
+      assertNeverThrows(s"xt$len", java.util.Arrays.copyOf(pdf, len))
+  }
+
   test("deeply nested PDF arrays fail as parse_error, not StackOverflow") {
     val deep = ("%PDF-1.4\n1 0 obj\n" + "[" * 100000 + "]" * 100000 +
       "\nendobj\ntrailer\n<< /Root 1 0 R >>\nstartxref\n9\n%%EOF").getBytes("ISO-8859-1")

@@ -130,6 +130,19 @@ class ExtractPipelineSpec extends AnyFunSuite {
     assert(store.committedRuns == Seq("r1", "r2"))
   }
 
+  test("single-scan salting variant is byte-identical to the dual-branch plan") {
+    import spark.implicits._
+    val corpus = SynthCorpus.generate(spark, 120L, seed = 42L, partitions = 4)
+    // small threshold so both mega and single docs exercise both plans
+    val base = ExtractPipeline.PipelineConfig(numPartitions = 4, megaDocBytes = 16 * 1024)
+    def key(d: ExtractedDoc) =
+      (d.doc_id, d.failure, d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)))
+    val dual = ExtractPipeline.extract(corpus, base).collect().map(key).sortBy(_._1)
+    val single = ExtractPipeline.extract(corpus, base.copy(singleScan = true))
+      .collect().map(key).sortBy(_._1)
+    assert(single.toSeq == dual.toSeq)
+  }
+
   test("metrics rows aggregate docs/bytes/spans/failures") {
     import spark.implicits._
     val corpus = SynthCorpus.generate(spark, 100L, seed = 42L, partitions = 4)
