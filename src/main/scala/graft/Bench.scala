@@ -289,8 +289,6 @@ object Bench {
     val wantPairs = 3
     val levelRepeats = 3
     val maxTries = sys.env.getOrElse("SPARK_GRAFT_PAIR_TRIES", "8").toInt
-    val scalingDeadline = System.nanoTime() +
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_DEADLINE", "900").toInt * 1_000_000_000L
     final case class ScalePair(thrN: Double, thr4N: Double,
         ambient: Option[Double], validated: Boolean) {
       def eff: Double = thr4N / (4.0 * thrN)
@@ -413,6 +411,11 @@ object Bench {
     val accepted = scala.collection.mutable.ArrayBuffer.empty[ScalePair]
     var rejectedDirty = 0
     var rejectedImplausible = 0
+    // the deadline clock starts HERE, not at constant-definition time —
+    // otherwise a slow cluster section (which runs first) eats the whole
+    // single-JVM pair budget
+    val scalingDeadline = System.nanoTime() +
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_DEADLINE", "900").toInt * 1_000_000_000L
     val scalingOk = try {
       levelRun(levelN, warm = true)
       levelRun(level4N, warm = true)

@@ -28,6 +28,41 @@ object Boilerplate {
     "h1", "h2", "h3", "h4", "h5", "h6", "td", "blockquote", "pre", "tr",
     "ul", "ol", "table", "body")
 
+  /** `s.trim.replaceAll("[ \\t\\u00A0]+", " ")` as one pass (the per-block
+    * regex was the hottest allocation in the HTML kernel class).
+    */
+  private def normalizeBlock(s0: String): String = {
+    val s = s0.trim
+    val len = s.length
+    if (len == 0) return s
+    val sb = new java.lang.StringBuilder(len)
+    var i = 0
+    var inRun = false
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\u00A0') {
+        if (!inRun) { sb.append(' '); inRun = true }
+      } else { sb.append(c); inRun = false }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** `s.split("[ \\t\\r\\n\\u00A0]+").count(_.nonEmpty)` without the array. */
+  private def countWords(s: String): Int = {
+    var n = 0
+    var i = 0
+    var inWord = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val sep = c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\u00A0'
+      if (!sep && !inWord) { n += 1; inWord = true }
+      else if (sep) inWord = false
+      i += 1
+    }
+    n
+  }
+
   /** Lightweight tolerant HTML tokenizer → text blocks with link-word
     * accounting. No external parser: tags split blocks, anchor runs count
     * their words as link words, drop-tag subtrees are suppressed entirely.
@@ -43,7 +78,7 @@ object Boilerplate {
     val n = html.length
 
     def flush(): Unit = {
-      val t = cur.toString.trim.replaceAll("[ \\t\\u00A0]+", " ")
+      val t = normalizeBlock(cur.toString)
       if (t.nonEmpty) blocks += Block(t, curWords, curLinkWords, isContent = false)
       cur.setLength(0); curWords = 0; curLinkWords = 0
     }
@@ -51,10 +86,11 @@ object Boilerplate {
     def appendText(t: String): Unit = {
       if (dropDepth > 0) return
       val decoded = decodeEntities(t)
-      val words = decoded.split("[ \\t\\r\\n\\u00A0]+").count(_.nonEmpty)
-      if (words > 0 || decoded.trim.nonEmpty) {
-        if (cur.length > 0 && !cur.toString.endsWith(" ")) cur.append(' ')
-        cur.append(decoded.trim)
+      val words = countWords(decoded)
+      val trimmed = decoded.trim
+      if (words > 0 || trimmed.nonEmpty) {
+        if (cur.length > 0 && cur.charAt(cur.length - 1) != ' ') cur.append(' ')
+        cur.append(trimmed)
         curWords += words
         if (inAnchor > 0) curLinkWords += words
       }
@@ -73,11 +109,22 @@ object Boilerplate {
           val gt = html.indexOf('>', lt)
           if (gt < 0) i = n
           else {
-            val rawTag = html.substring(lt + 1, gt).trim
-            val closing = rawTag.startsWith("/")
-            val name = rawTag.dropWhile(_ == '/').takeWhile(c => c.isLetterOrDigit).toLowerCase
+            // tag-name scan in place — equivalent of
+            // substring(lt+1, gt).trim then startsWith("/") /
+            // dropWhile('/') / takeWhile(isLetterOrDigit) / endsWith("/")
+            var p = lt + 1
+            while (p < gt && html.charAt(p) <= ' ') p += 1
+            val closing = p < gt && html.charAt(p) == '/'
+            var q = p
+            while (q < gt && html.charAt(q) == '/') q += 1
+            val nameStart = q
+            while (q < gt && Character.isLetterOrDigit(html.charAt(q))) q += 1
+            val name = html.substring(nameStart, q).toLowerCase
+            var e = gt - 1
+            while (e > lt && html.charAt(e) <= ' ') e -= 1
+            val selfClosing = e > lt && html.charAt(e) == '/'
             if (DropTags.contains(name)) {
-              if (!closing && !rawTag.endsWith("/")) dropDepth += 1
+              if (!closing && !selfClosing) dropDepth += 1
               else if (closing && dropDepth > 0) dropDepth -= 1
               flush()
             } else if (name == "a") {

@@ -139,6 +139,35 @@ class RobustnessSpec extends AnyFunSuite {
       assertNeverThrows(s"xt$len", java.util.Arrays.copyOf(pdf, len))
   }
 
+  private def assertNeverThrowsKind(id: String, kind: String, payload: Array[Byte]): Unit = {
+    val r = Extractor.extract(id,
+      Seq(Extractor.Span(kind, java.util.Base64.getEncoder.encodeToString(payload), "", 0)))
+    assert(r != null)
+    if (r.failure.nonEmpty)
+      assert(Set("zero_size", "too_large", "unknown_format", "parse_error",
+        "content_not_found", "encrypted", "limit_exceeded").contains(r.failure), r.failure)
+  }
+
+  test("bit-flipped RTF / CFB (doc, ppt) / OOXML fixtures classify, never throw") {
+    val fixtures = Seq(
+      "rtf" -> "/root/reference/pkg/rtfparser/testdata/readme.rtf",
+      "bin" -> "/root/reference/pkg/docparser/testdata/readme.doc",
+      "bin" -> "/root/reference/pkg/docparser/testdata/readme.ppt",
+      "bin" -> "/root/reference/pkg/officexmlparser/testdata/readme.docx")
+    val rnd = new scala.util.Random(2468)
+    for ((kind, path) <- fixtures) {
+      val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      for (trial <- 0 until 60) {
+        val m = orig.clone()
+        for (_ <- 0 to rnd.nextInt(6))
+          m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+        assertNeverThrowsKind(s"$path#$trial", kind, m)
+      }
+      for (len <- Seq(4, 64, orig.length / 3, orig.length - 3))
+        assertNeverThrowsKind(s"$path#t$len", kind, java.util.Arrays.copyOf(orig, len))
+    }
+  }
+
   test("deeply nested PDF arrays fail as parse_error, not StackOverflow") {
     val deep = ("%PDF-1.4\n1 0 obj\n" + "[" * 100000 + "]" * 100000 +
       "\nendobj\ntrailer\n<< /Root 1 0 R >>\nstartxref\n9\n%%EOF").getBytes("ISO-8859-1")
