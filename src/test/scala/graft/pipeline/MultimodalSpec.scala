@@ -150,6 +150,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.sortBy(_.media_ref).map(_.feature.toSeq) sameElements f2.sortBy(_.media_ref).map(_.feature.toSeq))
   }
 
+  test("bit-flipped and truncated media payloads yield failure rows, never throw") {
+    // corpus-scale contract: a fixed fraction of binary payloads is always
+    // corrupt; every per-row kernel must emit its failure shape (channels=0
+    // image/audio rows, unparseable frame row, resize None) — task-killing
+    // exceptions are forbidden
+    val rnd = new scala.util.Random(1357)
+    for (id <- 0L until 30L) {
+      val orig = Multimodal.synthRow(id)
+      for (trial <- 0 until 20) {
+        val m = orig.bytes.clone()
+        for (_ <- 0 to rnd.nextInt(8))
+          m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+        val row = orig.copy(bytes = m)
+        if (row.mime.startsWith("image/")) {
+          assert(Multimodal.decodeImageRow(row) != null)
+          Multimodal.resizeImageRow(row, maxDim = 12) // Option — may be None
+        } else if (row.mime.startsWith("audio/")) {
+          assert(Multimodal.decodeAudioRow(row) != null)
+        } else {
+          assert(Multimodal.sampleFrameRows(row, everyMs = 1000).size >= 1)
+        }
+      }
+      for (len <- Seq(1, 8, orig.bytes.length / 2, orig.bytes.length - 3)) {
+        val row = orig.copy(bytes = java.util.Arrays.copyOf(orig.bytes, math.max(len, 1)))
+        if (row.mime.startsWith("image/")) assert(Multimodal.decodeImageRow(row) != null)
+        else if (row.mime.startsWith("audio/")) assert(Multimodal.decodeAudioRow(row) != null)
+        else assert(Multimodal.sampleFrameRows(row, everyMs = 1000).size >= 1)
+      }
+    }
+  }
+
   test("O2 round-trip: PDF-embedded raster → extractor media span → pdfMediaRows → decodeImages golden pixel_hash") {
     import graft.core.pdf.PdfBuilder
     import spark.implicits._
