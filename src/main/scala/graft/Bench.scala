@@ -233,6 +233,34 @@ object Bench {
         } finally src.close()
       } catch { case _: Exception => -1L }
     var ambientSource = "unknown"
+
+    // Memory-bandwidth microprobe: the one noise source CPU accounting is
+    // blind to is a neighbor saturating the shared LLC/memory bus — it
+    // burns few cores (ambient looks clean) while collapsing 8-core levels
+    // 2.5-5× (2-core levels are cache-resident and immune). A timed 64 MB
+    // sweep slows proportionally. REPORTING + headline preference only:
+    // sweep never rejects a pair outright (a stormy day must still produce
+    // an artifact), it just demotes bus-dirty pairs from headline selection
+    // and ships per-pair in the JSON.
+    val sweepArr = new Array[Long](8 * 1024 * 1024) // 64 MB
+    def sweepGbps(): Double = {
+      var bestSec = Double.MaxValue
+      var sink = 0L
+      var k = 0
+      while (k < 3) {
+        val t0 = System.nanoTime()
+        var s = 0L
+        var i = 0
+        while (i < sweepArr.length) { s += sweepArr(i); i += 1 }
+        sink ^= s
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < bestSec) bestSec = dt
+        k += 1
+      }
+      if (sink == 42L) System.err.print("") // defeat dead-code elimination
+      0.0625 / bestSec
+    }
+    var sweepBest = 0.0
     /** (throughput, ambient cores burned by OTHER tenants — None when no
       * probe works: such runs are unvalidated, not clean).
       */
@@ -290,7 +318,7 @@ object Bench {
     val levelRepeats = 3
     val maxTries = sys.env.getOrElse("SPARK_GRAFT_PAIR_TRIES", "8").toInt
     final case class ScalePair(thrN: Double, thr4N: Double,
-        ambient: Option[Double], validated: Boolean) {
+        ambient: Option[Double], validated: Boolean, sweep: Double = 0.0) {
       def eff: Double = thr4N / (4.0 * thrN)
     }
     // Multi-executor pair — the literal rendering of the north rule's
@@ -360,8 +388,11 @@ object Bench {
         val clusterDeadline = System.nanoTime() + 600 * 1_000_000_000L
         while (cAccepted.length < 2 && t < 6 && System.nanoTime() < clusterDeadline) {
           waitQuiet()
+          val csw0 = sweepGbps()
           val (a, busyA, execsA) = clusterRun(1, warmFrac = 8)
           val (b, busyB, execsB) = clusterRun(4, warmFrac = 8)
+          val sweep = math.min(csw0, sweepGbps())
+          sweepBest = math.max(sweepBest, sweep)
           t += 1
           val eff = b / (4.0 * a)
           // storm gate, UNCONDITIONAL (round-3 verdict: gating behind
@@ -385,16 +416,21 @@ object Bench {
           } else if (!busyKnown && eff < 0.3) {
             cRejDirty += 1
             System.err.println(f"[bench] cluster pair rejected suspect: eff $eff%.2f, busy unknown")
-          } else cAccepted += ScalePair(a, b, busy, busyKnown)
+          } else cAccepted += ScalePair(a, b, busy, busyKnown, sweep)
         }
         if (cAccepted.isEmpty)
           s"""{"cluster_failed":true,"pairs_rejected_dirty":$cRejDirty,"pairs_rejected_implausible":$cRejImplausible}"""
         else {
-          val best = cAccepted.maxBy(_.eff)
+          val pool = {
+            val clean = cAccepted.filter(p => sweepBest <= 0 || p.sweep >= 0.7 * sweepBest)
+            if (clean.nonEmpty) clean else cAccepted
+          }
+          val best = pool.maxBy(_.eff)
           val pe = cAccepted.map(_.eff)
           val busyJson = cAccepted.map(_.ambient.map(b => f"$b%.2f").getOrElse("null"))
             .mkString("[", ",", "]")
-          s"""{"workers_n":1,"workers_4n":4,"cores_per_worker":2,"docs_per_sec_n":${best.thrN},"docs_per_sec_4n":${best.thr4N},"efficiency":${math.min(pe.max, 1.0)},"efficiency_conservative":${math.min(cAccepted.map(_.thr4N).max / (4.0 * cAccepted.map(_.thrN).max), 1.0)},"pair_efficiencies":${pe.mkString("[", ",", "]")},"pair_busy_cores":$busyJson,"pairs_validated":${cAccepted.count(_.validated)},"pairs_rejected_dirty":$cRejDirty,"pairs_rejected_implausible":$cRejImplausible}"""
+          val sweepJson = cAccepted.map(p => f"${p.sweep}%.1f").mkString("[", ",", "]")
+          s"""{"workers_n":1,"workers_4n":4,"cores_per_worker":2,"docs_per_sec_n":${best.thrN},"docs_per_sec_4n":${best.thr4N},"efficiency":${math.min(best.eff, 1.0)},"efficiency_conservative":${math.min(cAccepted.map(_.thr4N).max / (4.0 * cAccepted.map(_.thrN).max), 1.0)},"pair_efficiencies":${pe.mkString("[", ",", "]")},"pair_busy_cores":$busyJson,"pair_sweep_gbps":$sweepJson,"pairs_validated":${cAccepted.count(_.validated)},"pairs_rejected_dirty":$cRejDirty,"pairs_rejected_implausible":$cRejImplausible}"""
         }
       } catch {
         case e: Throwable =>
@@ -423,8 +459,11 @@ object Bench {
       while (accepted.length < wantPairs && tries < maxTries &&
         System.nanoTime() < scalingDeadline) {
         waitQuiet()
+        val sw0 = sweepGbps()
         val (a, ambA) = measuredRun(levelN, levelRepeats)
         val (b, ambB) = measuredRun(level4N, levelRepeats)
+        val sweep = math.min(sw0, sweepGbps())
+        sweepBest = math.max(sweepBest, sweep)
         tries += 1
         val ambKnown = ambA.isDefined && ambB.isDefined
         val amb = (ambA.toSeq ++ ambB.toSeq).maxOption
@@ -439,8 +478,8 @@ object Bench {
           rejectedDirty += 1
           System.err.println(f"[bench] pair rejected suspect: eff $eff%.2f, ambient unknown")
         } else {
-          accepted += ScalePair(a, b, amb, ambKnown)
-          System.err.println(f"[bench] pair accepted: eff $eff%.2f, ambient ${amb.getOrElse(-1.0)}%.2f")
+          accepted += ScalePair(a, b, amb, ambKnown, sweep)
+          System.err.println(f"[bench] pair accepted: eff $eff%.2f, ambient ${amb.getOrElse(-1.0)}%.2f, sweep $sweep%.1f GB/s")
         }
       }
       accepted.nonEmpty
@@ -490,7 +529,13 @@ object Bench {
         //    else best accepted pair, capped at 1.0 (>1 is always noise).
         //  - conservative: median-per-level (levelRepeats) best across
         //    windows.
-        val headlinePool = { val v = rs.filter(_.validated); if (v.nonEmpty) v else rs }
+        // headline preference order: ambient-validated AND bus-clean
+        // (sweep within 30% of the best seen) → ambient-validated → all
+        val headlinePool = {
+          val v = rs.filter(_.validated)
+          val clean = v.filter(p => sweepBest <= 0 || p.sweep >= 0.7 * sweepBest)
+          if (clean.nonEmpty) clean else if (v.nonEmpty) v else rs
+        }
         val pairEffs = rs.map(_.eff)
         val efficiency = math.min(headlinePool.map(_.eff).max, 1.0)
         // the cross-window estimator can also exceed 1 when a storm
@@ -500,7 +545,8 @@ object Bench {
         val efficiencyHigh = thr16N / (4.0 * thr4N)
         val ambJson = rs.map(_.ambient.map(a => f"$a%.2f").getOrElse("null"))
           .mkString("[", ",", "]")
-        s"""{"cores_n":$levelN,"cores_4n":$level4N,"level_repeats":$levelRepeats,"docs_per_sec_n":$thrN,"docs_per_sec_4n":$thr4N,"efficiency":$efficiency,"efficiency_estimator":"best validated same-window pair (median-of-$levelRepeats per level), capped at 1.0","efficiency_conservative":$efficiencyConservative,"pair_efficiencies":${pairEffs.mkString("[", ",", "]")},"pair_ambient_cores":$ambJson,"ambient_source":"$ambientSource","pairs_validated":${rs.count(_.validated)},"pairs_rejected_dirty":$rejectedDirty,"pairs_rejected_implausible":$rejectedImplausible,"cores_16n":$cpus,"docs_per_sec_16n":$thr16N,"efficiency_4n_16n":$efficiencyHigh}"""
+        val sweepJson = rs.map(p => f"${p.sweep}%.1f").mkString("[", ",", "]")
+        s"""{"cores_n":$levelN,"cores_4n":$level4N,"level_repeats":$levelRepeats,"docs_per_sec_n":$thrN,"docs_per_sec_4n":$thr4N,"efficiency":$efficiency,"efficiency_estimator":"best validated bus-clean same-window pair (median-of-$levelRepeats per level), capped at 1.0","efficiency_conservative":$efficiencyConservative,"pair_efficiencies":${pairEffs.mkString("[", ",", "]")},"pair_ambient_cores":$ambJson,"pair_sweep_gbps":$sweepJson,"sweep_best_gbps":${f"$sweepBest%.1f"},"ambient_source":"$ambientSource","pairs_validated":${rs.count(_.validated)},"pairs_rejected_dirty":$rejectedDirty,"pairs_rejected_implausible":$rejectedImplausible,"cores_16n":$cpus,"docs_per_sec_16n":$thr16N,"efficiency_4n_16n":$efficiencyHigh}"""
       case None =>
         s"""{"scaling_failed":true,"ambient_source":"$ambientSource","pairs_rejected_dirty":$rejectedDirty,"pairs_rejected_implausible":$rejectedImplausible}"""
     }
