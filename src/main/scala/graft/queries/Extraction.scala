@@ -55,6 +55,12 @@ object Extraction {
       .as[Doc](org.apache.spark.sql.Encoders.product[Doc])
   }
 
+  /** Pre-materialize the contract corpus parquet (Bench phase-0 hook: on a
+    * host with a scrubbed /tmp the first timed extract_* query would
+    * otherwise be billed the corpus generate+write).
+    */
+  def ensureCorpus(spark: SparkSession, dir: String): Unit = { corpus(spark, dir); () }
+
   private def extracted(spark: SparkSession, dir: String) =
     ExtractPipeline.extract(corpus(spark, dir), DemoCfg)
 
@@ -70,13 +76,6 @@ object Extraction {
   // exactly the layer the rows-only check couldn't see. Bump the version
   // token whenever generator or kernel semantics change (stale /tmp files).
   private val ExpectationVersion = "r4"
-
-  /** Gate corpus size, recorded when the queries run (they always run
-    * before [[oracle]] is dumped — Verify writes oracle_sql.json last), so
-    * the oracle paths always point at the same corpus the queries used
-    * instead of a hardcoded 2000-doc path.
-    */
-  @volatile private var gateSize: Long = 2000L
 
   private def expectedPathForSize(n: Long): String =
     s"${sys.props("java.io.tmpdir")}/graft-expected-$ExpectationVersion-$n"
@@ -96,6 +95,9 @@ object Extraction {
     * quality_decile). The distributed query recomputes these through
     * Catalyst HOFs; the DuckDB oracle replays dedup + rollup over THESE
     * per-doc values — any drift in either layer breaks the hash compare.
+    * THREE-LAYER CONTRACT with `TextAnalysis.withQualityCols` /
+    * `withPredictedLang` and the `extract_curate` oracle SQL below: edit
+    * the formulas in all three places together.
     */
   private def seqCurate(text: String): (String, Long, String, Long) = {
     val words = text.split(" ").filter(_.nonEmpty)
@@ -152,7 +154,6 @@ object Extraction {
     * curate/OCR/salting mirrors — every extract_* oracle reads this table.
     */
   def ensureExpectation(spark: SparkSession, dir: String): String = synchronized {
-    gateSize = corpusSize(dir)
     val path = expectedPathForSize(corpusSize(dir))
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       import spark.implicits._
@@ -194,7 +195,6 @@ object Extraction {
     * aggregation) against a plain single-threaded execution.
     */
   def ensureMediaExpectation(spark: SparkSession, dir: String): String = synchronized {
-    gateSize = corpusSize(dir)
     val n = corpusSize(dir) / 2
     val path = mediaExpectedPathForSize(n)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
@@ -415,12 +415,12 @@ object Extraction {
   // Every extraction/media query is oracled against the expectation
   // parquets (sequential kernels / driver-side loops) — the DuckDB compare
   // then verifies the DISTRIBUTED layer: salting, chunk merge, semi-joins,
-  // per-partition decode, aggregation. The paths derive from the gate size
-  // the queries actually ran at (`gateSize`, set by ensureExpectation —
-  // queries always run before Verify dumps this map).
-  def oracle: Map[String, String] = {
-    val exp = s"'${expectedPathForSize(gateSize)}/*.parquet'"
-    val mexp = s"'${mediaExpectedPathForSize(gateSize / 2)}/*.parquet'"
+  // per-partition decode, aggregation. The paths are a PURE function of
+  // the sf dir (no mutable gate state — a partial run, a second caller, or
+  // a per-query invocation all derive the same paths the queries do).
+  def oracle(dir: String): Map[String, String] = {
+    val exp = s"'${expectedPathForSize(corpusSize(dir))}/*.parquet'"
+    val mexp = s"'${mediaExpectedPathForSize(corpusSize(dir) / 2)}/*.parquet'"
     Map(
       "extract_pipeline" ->
         s"""SELECT doc_id, n_spans, n_chars, n_media, failure

@@ -190,14 +190,20 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** Set ops: brands carried in large sizes EXCEPT brands with any cheap
-    * part. Scale: EXCEPT plans as aggregate + anti-join on the distinct sets.
+  /** Set ops: large-size parts EXCEPT cheap parts, at (brand, partkey)
+    * grain. Scale: EXCEPT plans as aggregate + anti-join on the distinct
+    * sets. The 910.0 threshold sits INSIDE every gate size's price range
+    * (sf0.001 spans 900-919.9) so the result is non-empty and the oracle
+    * row actually discriminates — the previous 1200.0 cutoff covered the
+    * whole table and made the query vacuously green at 0 rows.
     */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables(spark, dir, "part")
-    val large = part.filter(col("p_size") > 25).select(col("p_brand")).distinct()
-    val cheap = part.filter(col("p_retailprice") < 1200.0).select(col("p_brand")).distinct()
-    large.except(cheap).orderBy(col("p_brand"))
+    val large = part.filter(col("p_size") > 25)
+      .select(col("p_brand"), col("p_partkey")).distinct()
+    val cheap = part.filter(col("p_retailprice") < 910.0)
+      .select(col("p_brand"), col("p_partkey")).distinct()
+    large.except(cheap).orderBy(col("p_brand"), col("p_partkey"))
   }
 
   /** Semi-structured props: JSON extraction + rollup (the schema-on-read
@@ -546,10 +552,10 @@ object Relational {
                        WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_setops" ->
-      """SELECT p_brand FROM part WHERE p_size > 25
+      """SELECT p_brand, p_partkey FROM part WHERE p_size > 25
          EXCEPT
-         SELECT p_brand FROM part WHERE p_retailprice < 1200.0
-         ORDER BY p_brand""",
+         SELECT p_brand, p_partkey FROM part WHERE p_retailprice < 910.0
+         ORDER BY p_brand, p_partkey""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

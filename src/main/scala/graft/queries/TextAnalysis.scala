@@ -35,6 +35,11 @@ object TextAnalysis {
 
   /** Quality metric columns over (text, words) — shared by [[textQuality]]
     * and the end-to-end curation pipeline (`Extraction.extractCurate`).
+    *
+    * THREE-LAYER CONTRACT: these formulas are restated in plain Scala in
+    * `Extraction.seqCurate` (the sequential expectation mirror) and in
+    * DuckDB SQL in the `text_quality` / `extract_curate` oracles — edit
+    * all three together or the hash compare breaks with a cross-layer diff.
     */
   private[queries] def withQualityCols(df: DataFrame): DataFrame = {
     val stops = "'the','and','of','to','a','in','is','der','die','das','und','el','la','de'"
@@ -52,7 +57,9 @@ object TextAnalysis {
   }
 
   /** Stopword-hit language scores + prediction over a `words` column —
-    * shared by [[textLangId]] and the curation pipeline.
+    * shared by [[textLangId]] and the curation pipeline. Mirrored in
+    * `Extraction.seqCurate` and the `text_langid` oracle SQL — keep the
+    * three in lockstep (see [[withQualityCols]]).
     */
   private[queries] def withPredictedLang(df: DataFrame): DataFrame = {
     val en = "'the','and','of','to','a','in','is','for','on','with'"
@@ -147,14 +154,11 @@ object TextAnalysis {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
 
-  @volatile private var bpGateDir: String = "/root/testdata/sf0.01"
-
   private def bpExpectedPath(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-bp-expected-r4-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
   /** Sequential strip per doc → expectation parquet (idempotent). */
   def ensureBoilerplateExpectation(spark: SparkSession, dir: String): String = synchronized {
-    bpGateDir = dir
     val path = bpExpectedPath(dir)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       import spark.implicits._
@@ -203,10 +207,14 @@ object TextAnalysis {
   private val WordsSql = "list_filter(string_split(text, ' '), w -> w <> '')"
   private val WhSql = "CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)"
 
-  def oracle: Map[String, String] = Map(
+  /** Oracle SQL as a PURE function of the sf dir (no mutable gate state —
+    * a partial run or per-query invocation gets the same paths Verify's
+    * full pass would; the boilerplate expectation path embeds `dir`).
+    */
+  def oracle(dir: String): Map[String, String] = Map(
     "text_boilerplate" ->
       s"""SELECT doc_id, content_md5, content_chars
-          FROM '${bpExpectedPath(bpGateDir)}/*.parquet' ORDER BY doc_id""",
+          FROM '${bpExpectedPath(dir)}/*.parquet' ORDER BY doc_id""",
     "text_vocab" ->
       s"""SELECT source, COUNT(DISTINCT w) AS vocab, COUNT(*) AS tokens
           FROM (SELECT source, unnest($WordsSql) AS w FROM documents) t

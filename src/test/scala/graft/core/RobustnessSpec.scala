@@ -159,8 +159,10 @@ class RobustnessSpec extends AnyFunSuite {
       val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
       for (trial <- 0 until 60) {
         val m = orig.clone()
-        for (_ <- 0 to rnd.nextInt(6))
-          m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+        for (_ <- 0 to rnd.nextInt(6)) {
+          val i = rnd.nextInt(m.length) // flip in place: read and write the SAME index
+          m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
         assertNeverThrowsKind(s"$path#$trial", kind, m)
       }
       for (len <- Seq(4, 64, orig.length / 3, orig.length - 3))

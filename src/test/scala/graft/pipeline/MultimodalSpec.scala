@@ -160,8 +160,10 @@ class MultimodalSpec extends AnyFunSuite {
       val orig = Multimodal.synthRow(id)
       for (trial <- 0 until 20) {
         val m = orig.bytes.clone()
-        for (_ <- 0 to rnd.nextInt(8))
-          m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+        for (_ <- 0 to rnd.nextInt(8)) {
+          val i = rnd.nextInt(m.length) // flip in place: read and write the SAME index
+          m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
         val row = orig.copy(bytes = m)
         if (row.mime.startsWith("image/")) {
           assert(Multimodal.decodeImageRow(row) != null)
