@@ -96,7 +96,37 @@ object OfficeXml {
   }
 
   /** Go regexp `\s` is ASCII [\t\n\f\r ] — match it exactly, not Java \s. */
-  private val ExcessiveWhitespace = "[\\t\\n\\f\\r ]{2,}".r
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** The reference's per-text-node transform (`\s{2,}` runs → one space;
+    * drop the node if it collapsed to nothing but a single space, unless
+    * the original WAS a single char — xmltotext.go:46-56), restated as one
+    * char loop over the StAX parser's internal buffer: the former
+    * `getText` + `Regex.replaceAllIn` pair allocated a String, a Matcher
+    * and a StringBuffer per text event, a top-3 slice of the OOXML
+    * kernel's bytes/doc.
+    */
+  private def appendCollapsed(sb: java.lang.StringBuilder,
+      chars: Array[Char], off: Int, len: Int): Unit = {
+    if (len >= 2) {
+      var i = off
+      val end = off + len
+      while (i < end && isAsciiWs(chars(i))) i += 1
+      if (i == end) return // whole node is one ws run of length ≥ 2 → ""
+    }
+    var j = off
+    val end = off + len
+    while (j < end) {
+      val c = chars(j)
+      if (isAsciiWs(c)) {
+        var k = j + 1
+        while (k < end && isAsciiWs(chars(k))) k += 1
+        sb.append(if (k - j >= 2) ' ' else c)
+        j = k
+      } else { sb.append(c); j += 1 }
+    }
+  }
 
   /** XmlToText (xmltotext.go:15-81). */
   def xmlToText(xml: Array[Byte], startWith: String): String = {
@@ -116,15 +146,8 @@ object OfficeXml {
         r.next() match {
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             if (skipNextText) skipNextText = false
-            else {
-              val t = r.getText
-              val cleaned = ExcessiveWhitespace.replaceAllIn(t, " ")
-              // drop whitespace-only runs unless original length was 1
-              // (xmltotext.go:46-56; original length is UTF-8 bytes in Go,
-              // but a run collapsing to " " is ASCII-whitespace-only, so
-              // char count == byte count)
-              if (t.length == 1 || cleaned != " ") sb.append(cleaned)
-            }
+            else appendCollapsed(sb, r.getTextCharacters, r.getTextStart,
+              r.getTextLength)
           case XMLStreamConstants.START_ELEMENT =>
             skipNextText = false
             if (localName(r) == "tableStyleId") skipNextText = true
@@ -154,46 +177,61 @@ object OfficeXml {
 
   // ── metadata mapping ──────────────────────────────────────────────────────
 
-  /** Flat DOM-ish view: local element name → concatenated text (last
-    * occurrence wins, matching Go xml.Unmarshal), repeated names collected,
-    * attributes of named elements captured. Only used on the three small
-    * metadata XML files.
+  /** Targeted metadata scan: records text only for the handful of element
+    * names a mapper actually reads (last occurrence wins, matching Go
+    * xml.Unmarshal), every occurrence of `collectAllOf` (ODF keywords),
+    * and the attributes of `attrsOf` (ODF document-statistic). The
+    * previous general scan built a StringBuilder + map entries for EVERY
+    * element of the three metadata files — a measured ~7 KB/doc of the
+    * OOXML kernel's allocation. Text for a wanted element is only what
+    * sits directly inside it (all wanted names are leaves in these
+    * schemas; nested elements suspend collection like the stack-based
+    * scan did).
     */
-  private final class XmlScan(xml: Array[Byte]) {
-    val lastText = mutable.HashMap[String, String]()
-    val allText = mutable.HashMap[String, mutable.ArrayBuffer[String]]()
-    val attrs = mutable.HashMap[String, Map[String, String]]()
+  private final class MetaScan(xml: Array[Byte], wantText: Set[String],
+      collectAllOf: String = "", attrsOf: String = "") {
+    private val text = mutable.HashMap[String, String]()
+    val all = mutable.ArrayBuffer[String]()
+    var attrs: Map[String, String] = null
     try {
       val r = factoryTL.get().createXMLStreamReader(new ByteArrayInputStream(xml))
-      val stack = mutable.Stack[(String, java.lang.StringBuilder)]()
+      val sb = new java.lang.StringBuilder
+      var collecting: String = null
+      var nested = 0 // depth below the collecting element
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             val raw = r.getLocalName
             val local = { val i = raw.indexOf(':'); if (i < 0) raw else raw.substring(i + 1) }
-            if (r.getAttributeCount > 0) {
-              attrs(local) = (0 until r.getAttributeCount).map { i =>
+            if (attrsOf == local && r.getAttributeCount > 0) {
+              attrs = (0 until r.getAttributeCount).map { i =>
                 val an = r.getAttributeLocalName(i)
                 val aLocal = { val j = an.indexOf(':'); if (j < 0) an else an.substring(j + 1) }
                 aLocal -> r.getAttributeValue(i)
               }.toMap
             }
-            stack.push((local, new java.lang.StringBuilder))
+            if (collecting != null) nested += 1
+            else if (wantText.contains(local) || (collectAllOf.nonEmpty && collectAllOf == local)) {
+              collecting = local; nested = 0; sb.setLength(0)
+            }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-            if (stack.nonEmpty) stack.top._2.append(r.getText)
+            if (collecting != null && nested == 0)
+              sb.append(r.getTextCharacters, r.getTextStart, r.getTextLength)
           case XMLStreamConstants.END_ELEMENT =>
-            if (stack.nonEmpty) {
-              val (name, text) = stack.pop()
-              val s = text.toString
-              lastText(name) = s
-              allText.getOrElseUpdate(name, mutable.ArrayBuffer()) += s
+            if (collecting != null) {
+              if (nested > 0) nested -= 1
+              else {
+                val s = sb.toString
+                if (collectAllOf == collecting) all += s else text(collecting) = s
+                collecting = null
+              }
             }
           case _ =>
         }
       }
       r.close()
     } catch { case _: Exception => /* unparseable metadata is skipped, like Go */ }
-    def get(name: String): String = lastText.getOrElse(name, "")
+    def get(name: String): String = text.getOrElse(name, "")
   }
 
   private def put(md: mutable.Map[String, String], key: String, v: String): Unit =
@@ -201,7 +239,10 @@ object OfficeXml {
 
   /** office_parser.go:183-226. */
   def mapOpenDocumentMetadata(md: mutable.Map[String, String], data: Array[Byte]): Unit = {
-    val s = new XmlScan(data)
+    val s = new MetaScan(data,
+      wantText = Set("creation-date", "generator", "creator", "title",
+        "publisher", "subject", "date"),
+      collectAllOf = "keyword", attrsOf = "document-statistic")
     put(md, "x-document-created", s.get("creation-date"))
     put(md, "x-document-producer", s.get("generator"))
     put(md, "x-document-creator", s.get("creator"))
@@ -209,9 +250,8 @@ object OfficeXml {
     put(md, "x-document-author", s.get("publisher"))
     put(md, "x-document-subject", s.get("subject"))
     put(md, "x-document-modified", s.get("date"))
-    val kws = s.allText.getOrElse("keyword", Nil)
-    if (kws.nonEmpty) md("x-document-keywords") = kws.mkString(" ")
-    s.attrs.get("document-statistic").foreach { a =>
+    if (s.all.nonEmpty) md("x-document-keywords") = s.all.mkString(" ")
+    Option(s.attrs).foreach { a =>
       put(md, "x-document-pages", a.getOrElse("page-count", ""))
       put(md, "x-document-words", a.getOrElse("word-count", ""))
       put(md, "x-document-chars", a.getOrElse("character-count", ""))
@@ -221,7 +261,8 @@ object OfficeXml {
 
   /** office_parser.go:133-160. */
   def mapMsOfficeCoreMetadata(md: mutable.Map[String, String], data: Array[Byte]): Unit = {
-    val s = new XmlScan(data)
+    val s = new MetaScan(data, wantText = Set("creator", "publisher",
+      "title", "subject", "keywords", "created", "modified"))
     put(md, "x-document-creator", s.get("creator"))
     put(md, "x-document-author", s.get("publisher"))
     put(md, "x-document-title", s.get("title"))
@@ -233,7 +274,8 @@ object OfficeXml {
 
   /** office_parser.go:162-181. */
   def mapMsOfficeStats(md: mutable.Map[String, String], data: Array[Byte]): Unit = {
-    val s = new XmlScan(data)
+    val s = new MetaScan(data, wantText = Set("Application", "Pages",
+      "Words", "CharactersWithSpaces", "Paragraphs"))
     put(md, "x-document-producer", s.get("Application"))
     put(md, "x-document-pages", s.get("Pages"))
     put(md, "x-document-words", s.get("Words"))

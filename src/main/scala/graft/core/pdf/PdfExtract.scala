@@ -25,10 +25,16 @@ object PdfExtract {
   }
 
   final case class XObj(
-      fontMap: Map[String, PdfFont],
+      fontMap: FontLookup,
       xobjMap: Map[String, XObj],
       content: Array[Byte],
       matrix: Matrix3)
+  object XObj {
+    /** Spec convenience: explicit font maps. */
+    def apply(fonts: Map[String, PdfFont], xobjMap: Map[String, XObj],
+        content: Array[Byte], matrix: Matrix3): XObj =
+      XObj(FontLookup.ofMap(fonts), xobjMap, content, matrix)
+  }
 
   val MaxXObjDepth = 8 // text_extract.go:328
 
@@ -76,7 +82,7 @@ object PdfExtract {
             }
             val res = sd.dict.get("Resources").flatMap(f.dict).getOrElse(PdfDict(Map.empty))
             out += name -> XObj(
-              buildFontMap(f, res),
+              new LazyFontMap(f, res): FontLookup,
               buildXObjMap(f, res, depth + 1),
               content, mat)
           }
@@ -88,7 +94,7 @@ object PdfExtract {
 
   // ── text state (text_extract.go:645-854) ──
 
-  private final class TState(var fontMap: Map[String, PdfFont]) {
+  private final class TState(var fontMap: FontLookup) {
     var currentFont: PdfFont = _
     var tlm: Matrix3 = Identity
     var tm: Matrix3 = Identity
@@ -176,7 +182,7 @@ object PdfExtract {
     private final case class Tag(name: String, actualText: String,
         hasActualText: Boolean, devX: Double, devY: Double)
 
-    def run(content: Array[Byte], fontMap: Map[String, PdfFont],
+    def run(content: Array[Byte], fontMap: FontLookup,
         xobjMap: Map[String, XObj], gs: GState): Double = {
       val ts = new TState(fontMap)
       val winSize = 8
@@ -324,7 +330,8 @@ object PdfExtract {
                 sealCur(ts, ts.cursorDevX, ts.cursorDevY)
                 val childGS = new GState(xobj.matrix.multiply(gs.ctm))
                 val childFonts =
-                  if (xobj.fontMap.isEmpty) fontMap else fontMap ++ xobj.fontMap
+                  if (xobj.fontMap.isEmpty) fontMap
+                  else new ChainFontLookup(xobj.fontMap, fontMap)
                 // recurse with a fresh window buffer (buf changes!)
                 val savedBuf = buf
                 val devX = run(xobj.content, childFonts, xobj.xobjMap, childGS)
@@ -345,7 +352,7 @@ object PdfExtract {
           case OpTf =>
             if (pos >= 2) {
               val (s2, e2) = atBackS(2)
-              ts.currentFont = fontMap.getOrElse(stripSlash(s2, e2), null)
+              ts.currentFont = fontMap.lookup(stripSlash(s2, e2))
               ts.tfSize = orZero(atBackD(1))
               if (ts.tfSize < 0) ts.tfSize = -ts.tfSize
               ts.updateFontSize(gs)
@@ -631,7 +638,12 @@ object PdfExtract {
   }
 
   /** extractTextFromContentTagged (tagged_content_parser.go:110-167). */
+  /** Spec convenience: explicit font maps. */
   def extractContentText(content: Array[Byte], fontMap: Map[String, PdfFont],
+      xobjMap: Map[String, XObj]): String =
+    extractContentText(content, FontLookup.ofMap(fontMap), xobjMap)
+
+  def extractContentText(content: Array[Byte], fontMap: FontLookup,
       xobjMap: Map[String, XObj]): String = {
     val spans = mutable.ArrayBuffer[Span]()
     val taggedFlag = Array(false)
@@ -672,7 +684,7 @@ object PdfExtract {
     val content = f.pageContent(page)
     if (content.isEmpty) return None
     val (fontMap, xobjMap) = f.resourceMapCache.getOrElseUpdate(res,
-      (buildFontMap(f, res), buildXObjMap(f, res)))
+      (new LazyFontMap(f, res): FontLookup, buildXObjMap(f, res)))
     Some(extractContentText(content, fontMap, xobjMap))
   }
 

@@ -31,7 +31,15 @@ final class PdfFile(data: Array[Byte]) {
     * their own maps.
     */
   private[pdf] val resourceMapCache =
-    mutable.HashMap[PdfDict, (Map[String, PdfText.PdfFont], Map[String, PdfExtract.XObj])]()
+    mutable.HashMap[PdfDict, (PdfText.FontLookup, Map[String, PdfExtract.XObj])]()
+
+  /** Per-file font cache keyed by the font's reference object: fonts are
+    * parsed lazily on first Tf lookup ([[PdfText.fontForRef]]) and refs
+    * are stable across pages/XObjects, so each referenced font parses
+    * once per document no matter how many resource dicts name it. A null
+    * value records an unresolvable ref (not re-chased).
+    */
+  private[pdf] val fontCache = mutable.HashMap[PdfObj, PdfText.PdfFont]()
 
   val headerVersion: String = {
     val head = new String(data, 0, math.min(16, data.length), "ISO-8859-1")

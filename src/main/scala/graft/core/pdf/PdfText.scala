@@ -295,33 +295,98 @@ object PdfText {
 
   // ── font map construction (text_extract.go:239-307) ──
 
+  /** Parse one font dict (ToUnicode CMap, encoding, widths, MissingWidth)
+    * — the per-font unit of work behind both the eager [[buildFontMap]]
+    * and the lazy production path ([[fontForRef]]).
+    */
+  def buildFont(f: PdfFile, fd: PdfDict): PdfFont = {
+    val font = new PdfFont(null, null, null, 500.0, isComposite = false)
+    fd.get("ToUnicode").flatMap(f.stream).foreach { sd =>
+      try font.toUnicode = parseToUnicodeCMap(f.decodeStream(sd))
+      catch { case _: Exception => }
+    }
+    fd.get("Encoding").foreach(e => font.encoding = parseEncoding(f, e))
+    val subtype = fd.get("Subtype").flatMap(n => f.name(n))
+    if (subtype.contains("Type0")) {
+      font.isComposite = true
+      font.widths = parseCIDFontWidths(f, fd)
+    } else {
+      // dense array straight from FirstChar/Widths — skips the boxed
+      // Map a simple font would only compile away again per doc
+      font.widthsArr = parseSimpleFontWidths(f, fd)
+    }
+    fd.get("FontDescriptor").flatMap(f.dict).foreach { fdd =>
+      fdd.get("MissingWidth").flatMap(f.num).foreach(font.defaultWidth = _)
+    }
+    font
+  }
+
+  /** Resolve + parse a font by its reference object, cached per FILE (refs
+    * are stable across pages and XObjects, so a font referenced by many
+    * resource dicts parses once). Null when the ref doesn't resolve to a
+    * dict — cached too, so broken refs aren't re-chased.
+    */
+  def fontForRef(f: PdfFile, ref: PdfObj): PdfFont =
+    f.fontCache.getOrElseUpdate(ref, f.dict(ref).map(buildFont(f, _)).orNull)
+
   def buildFontMap(f: PdfFile, resources: PdfDict): Map[String, PdfFont] = {
     val out = Map.newBuilder[String, PdfFont]
     val fontDict = resources.get("Font").flatMap(f.dict).getOrElse(return Map.empty)
     fontDict.entries.foreach { case (name, ref) =>
-      f.dict(ref).foreach { fd =>
-        val font = new PdfFont(null, null, null, 500.0, isComposite = false)
-        fd.get("ToUnicode").flatMap(f.stream).foreach { sd =>
-          try font.toUnicode = parseToUnicodeCMap(f.decodeStream(sd))
-          catch { case _: Exception => }
-        }
-        fd.get("Encoding").foreach(e => font.encoding = parseEncoding(f, e))
-        val subtype = fd.get("Subtype").flatMap(n => f.name(n))
-        if (subtype.contains("Type0")) {
-          font.isComposite = true
-          font.widths = parseCIDFontWidths(f, fd)
-        } else {
-          // dense array straight from FirstChar/Widths — skips the boxed
-          // Map a simple font would only compile away again per doc
-          font.widthsArr = parseSimpleFontWidths(f, fd)
-        }
-        fd.get("FontDescriptor").flatMap(f.dict).foreach { fdd =>
-          fdd.get("MissingWidth").flatMap(f.num).foreach(font.defaultWidth = _)
-        }
-        out += name -> font
-      }
+      f.dict(ref).foreach { fd => out += name -> buildFont(f, fd) }
     }
     out.result()
+  }
+
+  /** Font resolution for the content-stream interpreter. The production
+    * path is LAZY: the reference parses every font in a page's resource
+    * dict up front (text_extract.go:239-307), but most corpus pages
+    * reference a subset of their inherited resource dict's fonts from
+    * content — the eager build was the PDF kernel's largest remaining
+    * allocation (~13 KB/doc, round-4 DevAlloc). Parsing only on first Tf
+    * lookup is observationally identical: an unreferenced font influences
+    * nothing but allocation.
+    */
+  sealed trait FontLookup {
+    /** The font for a Tf operand, or null (reference: Fonts[name] miss
+      * keeps the previous font selected — caller's getOrElse(null)).
+      */
+    def lookup(name: String): PdfFont
+    def isEmpty: Boolean
+  }
+  object FontLookup {
+    val empty: FontLookup = new FontLookup {
+      def lookup(name: String): PdfFont = null
+      def isEmpty = true
+    }
+    /** Adapter for explicit maps (specs, synthetic harnesses). */
+    def ofMap(m: Map[String, PdfFont]): FontLookup = new FontLookup {
+      def lookup(name: String): PdfFont = m.getOrElse(name, null)
+      def isEmpty: Boolean = m.isEmpty
+    }
+  }
+  /** Lazy view of one resource dict's /Font table. */
+  final class LazyFontMap(f: PdfFile, resources: PdfDict) extends FontLookup {
+    private val fontDict: PdfDict = resources.get("Font").flatMap(f.dict).orNull
+    def lookup(name: String): PdfFont =
+      if (fontDict == null) null
+      else fontDict.entries.get(name) match {
+        case Some(ref) => fontForRef(f, ref)
+        case None => null
+      }
+    def isEmpty: Boolean = fontDict == null || fontDict.entries.isEmpty
+  }
+  /** XObject shadowing: the child's own fonts win, the caller's show
+    * through — `fontMap ++ xobj.fontMap` of the eager design, including
+    * the subtlety that a child name whose ref does NOT resolve falls back
+    * to the parent (the eager map simply never contained it).
+    */
+  final class ChainFontLookup(own: FontLookup, parent: FontLookup) extends FontLookup {
+    def lookup(name: String): PdfFont = {
+      val x = own.lookup(name)
+      if (x != null) x else parent.lookup(name)
+    }
+    def isEmpty: Boolean = own.isEmpty && parent.isEmpty
   }
 
   /** Simple-font widths as a dense 256-slot array (codes are single bytes),

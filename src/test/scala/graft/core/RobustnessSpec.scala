@@ -170,6 +170,57 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("targeted zip-structure corruption (headers, sizes, deflate, EOCD) classifies, never throws") {
+    // a multi-entry pptx-shaped container so the walker crosses several
+    // local headers, the central directory, and the EOCD record
+    val zipBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      def add(name: String, body: String): Unit = {
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(body.getBytes("UTF-8")); z.closeEntry()
+      }
+      add("docProps/core.xml", "<cp:coreProperties><dc:title>T</dc:title></cp:coreProperties>")
+      add("docProps/app.xml", "<Properties><Application>X</Application></Properties>")
+      add("ppt/slides/slide2.xml", "<p:sld><p:cSld><a:t>second slide body text</a:t></p:cSld></p:sld>")
+      add("ppt/slides/slide1.xml", "<p:sld><p:cSld><a:t>first slide body text</a:t></p:cSld></p:sld>")
+      z.close()
+      bos.toByteArray
+    }
+    // every PK signature in the file: local headers (PK\3\4), central
+    // directory entries (PK\1\2), EOCD (PK\5\6)
+    val sigOffsets = zipBytes.indices.filter(i =>
+      i + 1 < zipBytes.length && zipBytes(i) == 'P'.toByte && zipBytes(i + 1) == 'K'.toByte)
+    assert(sigOffsets.size >= 9, s"expected ≥9 PK records, got ${sigOffsets.size}")
+    // 1) corrupt each signature (and each of its following 28 header bytes —
+    //    version/flags/method/sizes/CRC/name-length fields)
+    for (off <- sigOffsets; d <- 0 until 28; if off + d < zipBytes.length) {
+      val m = zipBytes.clone()
+      m(off + d) = (m(off + d) ^ 0xFF).toByte
+      assertNeverThrowsKind(s"zip-hdr$off+$d", "pptx", m)
+    }
+    // 2) truncate at every signature boundary and just inside each record
+    for (off <- sigOffsets; cut <- Seq(off, off + 2, off + 17); if cut < zipBytes.length)
+      assertNeverThrowsKind(s"zip-cut$cut", "pptx",
+        java.util.Arrays.copyOf(zipBytes, cut))
+    // 3) shear off the EOCD/central directory tail entirely (stream walkers
+    //    must cope with a file that ends mid-central-directory)
+    for (tail <- Seq(1, 10, 21, 22, 40, 60); if zipBytes.length > tail)
+      assertNeverThrowsKind(s"zip-tail$tail", "pptx",
+        java.util.Arrays.copyOf(zipBytes, zipBytes.length - tail))
+    // 4) random deflate-payload corruption between the first two headers
+    val rnd = new scala.util.Random(97531)
+    if (sigOffsets.size >= 2) {
+      val (a, b) = (sigOffsets(0) + 30, sigOffsets(1))
+      for (trial <- 0 until 40; if b > a) {
+        val m = zipBytes.clone()
+        val i = a + rnd.nextInt(b - a)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+        assertNeverThrowsKind(s"zip-deflate$trial", "pptx", m)
+      }
+    }
+  }
+
   test("deeply nested PDF arrays fail as parse_error, not StackOverflow") {
     val deep = ("%PDF-1.4\n1 0 obj\n" + "[" * 100000 + "]" * 100000 +
       "\nendobj\ntrailer\n<< /Root 1 0 R >>\nstartxref\n9\n%%EOF").getBytes("ISO-8859-1")
