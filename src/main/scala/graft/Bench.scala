@@ -380,8 +380,18 @@ object Bench {
           case (a, i) if a == "--add-opens" => Vector(a, inArgs(i + 1))
           case (a, _) if a.startsWith("--add-opens=") => Vector(a)
         }.flatten
+        // java.class.path alone breaks under spark-submit (the app jar is
+        // added via a child classloader, not the JVM classpath) — append
+        // the jar/classes dir this very class was loaded from
+        val selfCp = try {
+          new java.io.File(Bench.getClass.getProtectionDomain
+            .getCodeSource.getLocation.toURI).getAbsolutePath
+        } catch { case _: Exception => "" }
+        val baseCp = System.getProperty("java.class.path")
+        val cp = if (selfCp.nonEmpty && !baseCp.contains(selfCp))
+          baseCp + java.io.File.pathSeparator + selfCp else baseCp
         val cmd = (Vector(javaBin) ++ opens ++ Vector(
-          "-Xmx4g", "-cp", System.getProperty("java.class.path"),
+          "-Xmx4g", "-cp", cp,
           "graft.ClusterPairChild", nDocs.toString, "3")).asJava
         val p = new ProcessBuilder(cmd)
           .redirectError(ProcessBuilder.Redirect.INHERIT).start()

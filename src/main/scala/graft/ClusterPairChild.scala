@@ -84,8 +84,11 @@ object ClusterPairChild {
   def clusterSession(workers: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // 2 GB/executor (the r3-r4 value) young-GCs every few seconds under the
+    // kernel's ~13 KB/doc allocation; real clusters grant 2-4 GB/core
+    val memMb = sys.env.getOrElse("GRAFT_CLUSTER_MEM_MB", "4096").toInt
     val b = SparkSession.builder()
-      .master(s"local-cluster[$workers,2,2048]")
+      .master(s"local-cluster[$workers,2,$memMb]")
       .config("spark.executor.extraClassPath",
         "/root/repo/target/scala-2.13/classes:" +
           "/root/repo/target/scala-2.13/textextractionservicespark_2.13-0.1.0.jar")
@@ -99,6 +102,14 @@ object ClusterPairChild {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+    // Size each executor JVM's internal thread pools (GC, JIT, common FJ
+    // pool) to its 2-core grant instead of the 32 visible host cores — on
+    // a real cluster the container's cgroup does this; local-cluster
+    // executors otherwise each spawn ~32-core-sized GC/JIT crews, and 4 of
+    // them oversubscribe the 4N level far more than the N level (opt-out
+    // via GRAFT_EXEC_APC=0).
+    if (!sys.env.get("GRAFT_EXEC_APC").contains("0"))
+      b.config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=2")
     val s = Bench.withTmpfsLocalDir(b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -116,7 +127,9 @@ object ClusterPairChild {
     def levelRun(workers: Int): (Double, Int, Double, Double) = {
       val s = clusterSession(workers)
       try {
-        Bench.extractionBench(s, math.max(nDocs / 8, 100), workers * 2) // warm
+        // warm scales with worker count so each executor JVM sees the same
+        // per-process JIT warmup regardless of level (untimed)
+        Bench.extractionBench(s, math.max(nDocs / 8, 100) * workers, workers * 2)
         val execs = s.sparkContext.statusTracker.getExecutorInfos.length - 1
         val o0 = ownJiffies(); val b0 = totalBusyJiffies()
         val t0 = System.nanoTime()
