@@ -453,8 +453,17 @@ object Bench {
             val ambient =
               if (ambKnown) Some(math.max(math.max(totN - ownN, tot4 - own4), 0.0))
               else None
-            // own-footprint budgets: workers×2 executor cores + ~1.5 driver
-            val budgetN = 2 + 1.5
+            // own-footprint budgets: workers×2 executor cores + driver.
+            // With right-sized executors (-XX:ActiveProcessorCount=2) the
+            // driver+JVM-overhead share measures 0.3-0.7 cores, not the
+            // ~1.5 the pre-APC calibration assumed — a healthy N level
+            // burns 2.2-2.7 own cores, so the old 0.6×3.5=2.1 threshold
+            // sat inside normal variance and misfired (attempt C: 3 healthy
+            // pairs rejected stalled). The 4N gate TIGHTENS to 0.7×9.5=6.65
+            // busy cores: the round-4 stall signature (own 5.9 of 9.5)
+            // squeaked past the old 5.7, and clean right-sized runs show
+            // own_4n ≥ 7.0.
+            val budgetN = 2 + 0.5
             val budget4 = 8 + 1.5
             if (m.getOrElse("execs_n", 0.0) < 1 || m.getOrElse("execs_4n", 0.0) < 4) {
               cRejDirty += 1
@@ -465,7 +474,7 @@ object Bench {
             } else if (eff > MaxPlausibleEff) {
               cRejImplausible += 1
               System.err.println(f"[bench] cluster pair rejected implausible: eff $eff%.2f")
-            } else if (own4 >= 0 && own4 < 0.6 * budget4) {
+            } else if (own4 >= 0 && own4 < 0.7 * budget4) {
               // a 4N level that can't use even 60% of ITS OWN cores is a
               // stall (blocked executors, launch throttling), not the
               // engine and not a storm — round-4 driver published 0.32

@@ -21,8 +21,9 @@ object DevSaltCompare {
     val repeats = if (args.length > 2) args(2).toInt else 3
     val clusterMode = args.length > 3 && args(3) == "cluster"
     val workers = math.max(cores / 2, 1)
+    val memMb = sys.env.getOrElse("GRAFT_CLUSTER_MEM_MB", "4096").toInt
     val b = SparkSession.builder()
-      .master(if (clusterMode) s"local-cluster[$workers,2,2048]" else s"local[$cores]")
+      .master(if (clusterMode) s"local-cluster[$workers,2,$memMb]" else s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "65536")
@@ -34,6 +35,8 @@ object DevSaltCompare {
           "/root/repo/target/scala-2.13/textextractionservicespark_2.13-0.1.0.jar")
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+      // match ClusterPairChild's executor sizing (cgroup-model thread pools)
+      .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=2")
     val spark = Bench.withTmpfsLocalDir(b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
