@@ -268,8 +268,88 @@ object Extractor {
   }
 
   private[graft] def decodePayload(text: String): Array[Byte] =
-    try Base64.getDecoder.decode(text)
+    try decodeBase64(text)
     catch { case _: IllegalArgumentException => text.getBytes("ISO-8859-1") }
+
+  private val B64Table: Array[Int] = {
+    val t = Array.fill(128)(-1)
+    var i = 0
+    while (i < 26) { t('A' + i) = i; t('a' + i) = 26 + i; i += 1 }
+    i = 0
+    while (i < 10) { t('0' + i) = 52 + i; i += 1 }
+    t('+') = 62; t('/') = 63; t('=') = -2
+    t
+  }
+
+  /** java.util.Base64 basic-decoder semantics restated over the String's
+    * chars directly: `Base64.getDecoder.decode(String)` first copies the
+    * whole string via getBytes(ISO_8859_1) — for a 50 KB payload that is
+    * ~70 KB of per-document garbage on the kernel's hottest path (every
+    * binary span decodes through here). Byte- and exception-compatible
+    * with the JDK decoder (chars ≥ 0x80 are illegal exactly as the JDK's
+    * ISO-8859-1 pre-copy made them): the raw-text fallback in
+    * [[decodePayload]] depends on the IllegalArgumentException cases.
+    * Differentially tested against the JDK decoder in ExtractorSpec.
+    */
+  private[graft] def decodeBase64(s: String): Array[Byte] = {
+    val len = s.length
+    if (len == 0) return Array.emptyByteArray
+    if (len < 2)
+      throw new IllegalArgumentException(
+        "Input byte[] should at least have 2 bytes for base64 bytes")
+    var pads = 0
+    if (s.charAt(len - 1) == '=') {
+      pads += 1; if (s.charAt(len - 2) == '=') pads += 1
+    }
+    val dstLen = 3 * ((len + 3) / 4) -
+      (if (pads == 0 && (len & 3) != 0) 4 - (len & 3) else pads)
+    val dst = new Array[Byte](dstLen)
+    var dp = 0
+    var bits = 0
+    var shiftto = 18
+    var sp = 0
+    var brk = false
+    while (sp < len && !brk) {
+      val c = s.charAt(sp); sp += 1
+      val b = if (c < 128) B64Table(c) else -1
+      if (b >= 0) {
+        bits |= b << shiftto
+        shiftto -= 6
+        if (shiftto < 0) {
+          dst(dp) = (bits >> 16).toByte
+          dst(dp + 1) = (bits >> 8).toByte
+          dst(dp + 2) = bits.toByte
+          dp += 3; shiftto = 18; bits = 0
+        }
+      } else if (b == -2) {
+        // '=' legality mirrors the JDK: xx= needs a second '=' (consumed),
+        // bare '=' in a fresh unit is garbage; x= falls through to the
+        // not-enough-bits check below
+        if ((shiftto == 6 && {
+              val bad = sp == len || s.charAt(sp) != '='
+              sp += (if (sp == len) 0 else 1)
+              bad
+            }) || shiftto == 18)
+          throw new IllegalArgumentException(
+            "Input byte array has wrong 4-byte ending unit")
+        brk = true
+      } else
+        throw new IllegalArgumentException(
+          "Illegal base64 character " + Integer.toString(c, 16))
+    }
+    if (shiftto == 6) { dst(dp) = (bits >> 16).toByte; dp += 1 }
+    else if (shiftto == 0) {
+      dst(dp) = (bits >> 16).toByte
+      dst(dp + 1) = (bits >> 8).toByte
+      dp += 2
+    } else if (shiftto == 12)
+      throw new IllegalArgumentException(
+        "Last unit does not have enough valid bits")
+    if (sp < len)
+      throw new IllegalArgumentException(
+        "Input byte array has incorrect ending byte at " + sp)
+    if (dp == dstLen) dst else java.util.Arrays.copyOf(dst, dp)
+  }
 
   /** Distinguish docx/odt/pptx/odp inside a sniffed zip by member names. */
   private def zipExt(data: Array[Byte]): String = {
