@@ -66,6 +66,16 @@ object DevAlloc {
           core.pdf.PdfExtract.pageHasImages(f, i)
         }
       }
+      // hasImages-only on warm files (isolates its marginal cost)
+      val filesH = payloads.map(new core.pdf.PdfFile(_))
+      filesH.foreach(f => (0 until f.pageCount).foreach(i => core.pdf.PdfExtract.pageHasImages(f, i)))
+      locally {
+        val a0 = tmx.getThreadAllocatedBytes(tid)
+        val t0 = System.nanoTime()
+        filesH.foreach(f => (0 until f.pageCount).foreach(i => core.pdf.PdfExtract.pageHasImages(f, i)))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"PDFSTAGE hasImages_warm        ${(tmx.getThreadAllocatedBytes(tid) - a0) / 1e3 / perClass}%9.1f KB/doc ${sec * 1e6 / perClass}%9.1f us/doc")
+      }
       // interpreter-only: same files, warm font/xobj caches
       val files = payloads.map(new core.pdf.PdfFile(_))
       files.foreach(f => (0 until f.pageCount).foreach(i => core.pdf.PdfExtract.pageText(f, i)))

@@ -220,7 +220,9 @@ object Extractor {
                 while (page < n) {
                   val txtOpt = graft.core.pdf.PdfExtract.pageText(pf, page)
                   val txt = txtOpt.getOrElse("")
-                  val hasImages = graft.core.pdf.PdfExtract.pageHasImages(pf, page)
+                  // short-circuit: the XObject walk only matters when the
+                  // short-text OCR trigger can actually fire for this page
+                  def hasImages = graft.core.pdf.PdfExtract.pageHasImages(pf, page)
                   // OCR decision rule (misc.go:38-40): short page with images →
                   // surface the page's images as media spans before the text,
                   // one span per decodable raster (pdf_images.go:30-67 —

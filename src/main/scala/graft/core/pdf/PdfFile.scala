@@ -128,8 +128,9 @@ final class PdfFile(data: Array[Byte]) {
       // xref stream: "num gen obj <<...>> stream"
       val obj = parseIndirectAt(off)
       obj match {
-        case PdfStreamObj(dict, _) =>
-          val content = decodeStream(PdfStreamObj(dict, rawOf(obj)))
+        case s: PdfStreamObj =>
+          val dict = s.dict
+          val content = decodeStream(s)
           loadXrefStream(dict, content)
           if (isFirst || trailer.entries.isEmpty) trailer = mergeTrailer(trailer, dict)
           dict.get("Prev") match {
@@ -145,7 +146,7 @@ final class PdfFile(data: Array[Byte]) {
     PdfDict(extra.entries ++ base.entries) // earlier (newer) entries win
 
   private def rawOf(o: PdfObj): Array[Byte] = o match {
-    case PdfStreamObj(_, raw) => raw
+    case s: PdfStreamObj => s.raw
     case _ => Array.emptyByteArray
   }
 
@@ -207,15 +208,15 @@ final class PdfFile(data: Array[Byte]) {
       lex.pos += 3
     val body = lex.parseObj()
     body match {
-      case PdfStreamObj(d, raw) =>
+      case s: PdfStreamObj =>
         // resolve indirect /Length and re-slice if the scan-based slice differs
-        d.get("Length") match {
+        s.dict.get("Length") match {
           case Some(r: PdfRef) =>
             resolve(r) match {
-              case PdfNum(len) if len.toInt >= 0 && len.toInt != raw.length =>
-                // re-read exactly len bytes from the recorded start — we don't
-                // track start here, so accept the scan-based slice trimmed/padded
-                if (len.toInt < raw.length) PdfStreamObj(d, java.util.Arrays.copyOf(raw, len.toInt))
+              case PdfNum(len) if len.toInt >= 0 && len.toInt != s.rawLen =>
+                // trim to exactly len bytes — a re-slice of the recorded
+                // span, no copy (padding past the scan end is not possible)
+                if (len.toInt < s.rawLen) s.trimmed(len.toInt)
                 else body
               case _ => body
             }
@@ -250,7 +251,8 @@ final class PdfFile(data: Array[Byte]) {
 
   private def loadObjStm(num: Int): Array[(Int, PdfObj)] = {
     fetch(num) match {
-      case s @ PdfStreamObj(dict, _) =>
+      case s: PdfStreamObj =>
+        val dict = s.dict
         val content = decodeStream(s)
         val n = dict.get("N") match { case Some(PdfNum(v)) => v.toInt; case _ => 0 }
         val first = dict.get("First") match { case Some(PdfNum(v)) => v.toInt; case _ => 0 }
@@ -279,7 +281,7 @@ final class PdfFile(data: Array[Byte]) {
 
   def dict(o: PdfObj): Option[PdfDict] = resolve(o) match {
     case d: PdfDict => Some(d)
-    case PdfStreamObj(d, _) => Some(d)
+    case s: PdfStreamObj => Some(s.dict)
     case _ => None
   }
 
@@ -327,16 +329,23 @@ final class PdfFile(data: Array[Byte]) {
       case Some(r: PdfRef) => Vector(dict(r))
       case _ => Vector.empty
     }
-    var out = s.raw
+    // `out == null` means "still the un-materialized raw slice": the first
+    // FlateDecode inflates directly from (src, start, len), so the common
+    // single-Flate stream never copies its encoded bytes at all
+    var out: Array[Byte] = null
     filters.zipWithIndex.foreach { case (f, i) =>
       val p = if (i < parms.length) parms(i) else None
       f match {
         case "FlateDecode" | "Fl" =>
-          out = predictor(inflate(out), p)
+          val inflated =
+            if (out == null) inflateRange(s.src0, s.start0, s.rawLen)
+            else inflate(out)
+          out = predictor(inflated, p)
         case "ASCIIHexDecode" | "AHx" =>
+          val in = if (out == null) s.raw else out
           val buf = new java.io.ByteArrayOutputStream()
           var hi = -1
-          out.foreach { b =>
+          in.foreach { b =>
             if (b != '>') {
               val d = Character.digit(b, 16)
               if (d >= 0) { if (hi < 0) hi = d else { buf.write((hi << 4) | d); hi = -1 } }
@@ -347,23 +356,39 @@ final class PdfFile(data: Array[Byte]) {
         case _ => // DCTDecode etc: leave raw (images aren't text sources)
       }
     }
-    out
+    if (out == null) s.raw else out
   }
 
-  private def inflate(in: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(in)
-    val out = new java.io.ByteArrayOutputStream(math.max(1024, in.length * 4))
-    val buf = new Array[Byte](16384)
+  private def inflate(in: Array[Byte]): Array[Byte] = inflateRange(in, 0, in.length)
+
+  /** Per-thread Inflater + growable output scratch: the previous
+    * new-Inflater + 16 KB chunk + oversized ByteArrayOutputStream +
+    * toByteArray sequence cost three allocations and two full copies per
+    * stream (content streams, fonts, CMaps, ObjStm, xref streams — the
+    * hottest non-text allocations in the PDF kernel). Retention is bounded
+    * the same way as ZipArchive's scratch.
+    */
+  private def inflateRange(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val s = PdfFile.inflateScratchTL.get()
+    val inf = s.inf
+    inf.reset()
+    inf.setInput(src, off, len)
+    var n = 0
     try {
       var done = false
       while (!done && !inf.finished()) {
-        val n = try inf.inflate(buf) catch { case _: java.util.zip.DataFormatException => done = true; 0 }
-        if (n > 0) out.write(buf, 0, n)
-        else if (inf.needsInput() || inf.needsDictionary()) done = true
+        if (n == s.acc.length)
+          s.acc = java.util.Arrays.copyOf(s.acc, s.acc.length * 2)
+        val k =
+          try inf.inflate(s.acc, n, s.acc.length - n)
+          catch { case _: java.util.zip.DataFormatException => done = true; 0 }
+        if (k > 0) n += k
+        else if (!done && (inf.needsInput() || inf.needsDictionary())) done = true
       }
-    } finally inf.end()
-    out.toByteArray
+      java.util.Arrays.copyOf(s.acc, n)
+    } finally {
+      if (s.acc.length > (8 << 20)) s.acc = new Array[Byte](1 << 20)
+    }
   }
 
   /** PNG predictors (Predictor >= 10) and TIFF predictor 2 over decoded data. */
@@ -496,4 +521,17 @@ final class PdfFile(data: Array[Byte]) {
       case None => Array.emptyByteArray
     }
   }
+}
+
+object PdfFile {
+  /** See [[PdfFile.inflateRange]]: one Inflater + output scratch per task
+    * thread; `reset()` between streams. The Inflater's native window lives
+    * for the thread — bounded, and far cheaper than end()/new per stream.
+    */
+  private final class InflateScratch {
+    val inf = new Inflater()
+    var acc = new Array[Byte](16384)
+  }
+  private val inflateScratchTL: ThreadLocal[InflateScratch] =
+    ThreadLocal.withInitial(() => new InflateScratch)
 }

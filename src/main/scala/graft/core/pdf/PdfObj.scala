@@ -19,7 +19,33 @@ final case class PdfDict(entries: Map[String, PdfObj]) extends PdfObj {
   def get(key: String): Option[PdfObj] = entries.get(key)
 }
 final case class PdfRef(num: Int, gen: Int) extends PdfObj
-final case class PdfStreamObj(dict: PdfDict, raw: Array[Byte]) extends PdfObj
+/** Stream object whose raw (still-encoded) bytes materialize lazily from a
+  * recorded (src, start, end) slice of the file buffer: resolving a stream
+  * to inspect only its dict — the OCR rule's XObject /Subtype check, image
+  * classification, the indirect-/Length fixup — no longer copies payload
+  * bytes. For image XObjects that eager copy was the dominant hidden cost
+  * of pageHasImages on raster-bearing pages.
+  */
+final class PdfStreamObj private (val dict: PdfDict, src: Array[Byte],
+    start: Int, end: Int) extends PdfObj {
+  lazy val raw: Array[Byte] =
+    if (start == 0 && end == src.length) src
+    else java.util.Arrays.copyOfRange(src, start, end)
+  def rawLen: Int = end - start
+  private[pdf] def src0: Array[Byte] = src
+  private[pdf] def start0: Int = start
+  /** Same slice trimmed to `newLen` bytes (indirect-/Length fixup) — a
+    * re-slice, not a copy.
+    */
+  def trimmed(newLen: Int): PdfStreamObj =
+    new PdfStreamObj(dict, src, start, math.min(end, start + math.max(newLen, 0)))
+}
+object PdfStreamObj {
+  def apply(dict: PdfDict, raw: Array[Byte]): PdfStreamObj =
+    new PdfStreamObj(dict, raw, 0, raw.length)
+  def sliced(dict: PdfDict, src: Array[Byte], start: Int, end: Int): PdfStreamObj =
+    new PdfStreamObj(dict, src, math.max(0, start), math.max(math.max(0, start), end))
+}
 
 /** Structural parser over the whole file buffer. Position-based; reused for
   * trailer dicts, indirect objects, and object-stream members.
@@ -195,7 +221,7 @@ final class PdfLexer(val data: Array[Byte], var pos: Int) {
           val end = math.min(data.length, start + len.toLong).toInt
           pos = end
           skipKeyword("endstream")
-          PdfStreamObj(dict, java.util.Arrays.copyOfRange(data, start, end))
+          PdfStreamObj.sliced(dict, data, start, end)
         case _ =>
           // scan for "endstream" (Length indirect or missing)
           val idx = indexOf(data, "endstream".getBytes, start)
@@ -205,7 +231,7 @@ final class PdfLexer(val data: Array[Byte], var pos: Int) {
           if (e > start && data(e - 1) == '\n') e -= 1
           if (e > start && data(e - 1) == '\r') e -= 1
           pos = if (idx < 0) data.length else idx + 9
-          PdfStreamObj(dict, java.util.Arrays.copyOfRange(data, start, e))
+          PdfStreamObj.sliced(dict, data, start, e)
       }
     } else {
       pos = save
