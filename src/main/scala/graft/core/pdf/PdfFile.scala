@@ -387,6 +387,10 @@ final class PdfFile(data: Array[Byte]) {
       }
       java.util.Arrays.copyOf(s.acc, n)
     } finally {
+      // drop the setInput reference too (ADVICE r5): without this reset the
+      // thread-local Inflater pins the whole source document array between
+      // calls — up to one full PDF buffer per pooled task thread
+      inf.reset()
       if (s.acc.length > (8 << 20)) s.acc = new Array[Byte](1 << 20)
     }
   }

@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   java.lang.System.setProperty("java.awt.headless", "true")
+  // ImageIO's default stream cache is a temp FILE per read/write call —
+  // thousands of create/write/delete syscalls per media batch for
+  // kilobyte-sized payloads. Memory caching changes no pixel/byte output
+  // (PNG/JPEG codecs are untouched), it only removes disk round-trips.
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaRow(
       media_ref: String,
@@ -120,6 +125,27 @@ object Multimodal {
   def synthesize(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map(id => synthRow(id))
+  }
+
+  /** Modality-pruned synthesis: only the ids whose mime class the caller
+    * will consume are generated. The media contract queries each decode ONE
+    * modality but previously paid full payload synthesis (PNG/JPEG/WAV
+    * encode) for all three classes and filtered after — this pushes the
+    * mime predicate below the (opaque-to-Catalyst) row generator, the §4.2
+    * "prune before the opaque function" rule. Partitioning is
+    * scale-adaptive (session default parallelism), sized for the encode
+    * kernel rather than the tiny id range.
+    */
+  def synthesizeClass(spark: SparkSession, n: Long, mimePrefix: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val cls = mimePrefix match {
+      case "image" => 0L
+      case "audio" => 1L
+      case _ => 2L
+    }
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .where(org.apache.spark.sql.functions.col("id") % 3 === cls)
+      .map(id => synthRow(id))
   }
 
   // ── MJPEG-in-AVI: hand-rolled RIFF writer + walker (same approach as the

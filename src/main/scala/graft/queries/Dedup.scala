@@ -36,7 +36,7 @@ object Dedup {
     */
   private def minhashSigBase(spark: SparkSession, dir: String): DataFrame = {
     val sigCols = (0 until 8).map(i => element_at(col("sigs"), i + 1).as(s"sig$i"))
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), minhash_sigs(h31(shingles3(col("text")))).as("sigs"))
       .select(col("doc_id") +: sigCols: _*)
       .withColumn("band0", md5(concat_ws("-", col("sig0"), col("sig1"), col("sig2"), col("sig3"))))
@@ -75,7 +75,7 @@ object Dedup {
     * word-hash array).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"),
         graft.functions.VectorExpressions.simhash32(col("text")).as("simhash"),
         expr("size(filter(split(text, ' '), w -> w <> ''))").as("n_words"))
@@ -90,7 +90,7 @@ object Dedup {
     * bit_count(xor) ≤ 3, exact in both engines.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables(spark, dir, "documents")
+    val sigs = Tables.spread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"),
         graft.functions.VectorExpressions.simhash32(col("text")).as("simhash"))
     val bands = sigs.select(col("doc_id"), col("simhash"),
@@ -113,7 +113,7 @@ object Dedup {
     * so two distinct shingles never collide).
     */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sset"))
       .select(col("doc_id"), col("sset"), size(col("sset")).as("nsh"))
 
@@ -126,21 +126,35 @@ object Dedup {
     * shingles too, for any K ≥ 1/threshold) bounds the skew of the
     * inverted-index join at 10^12 docs.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered jaccard pair query — shared by [[dedupNgramJaccard]] (which
+    * adds the presentation sort) and [[dedupComponents]] (whose component
+    * aggregation doesn't need the pair order; inheriting the global sort
+    * cost an extra range-partition sampling pass + exchange inside the
+    * components plan).
+    */
+  private def ngramJaccardBase(spark: SparkSession, dir: String): DataFrame = {
     val inv = shingleSets(spark, dir)
       .select(col("doc_id"), col("nsh"), explode(col("sset")).as("sh"))
       .localCheckpoint(eager = false) // one shingle pass shared by both join sides
     val a = inv.toDF("doc_a", "na", "sh")
     val b = inv.toDF("doc_b", "nb", "sh")
-    a.join(b, "sh")
+    // shuffle-hash, not broadcast: Catalyst's size estimate broadcast the
+    // WHOLE inverted index (~1M rows at bench sf), whose hash-relation
+    // build is driver-serial; the self-join shuffles both sides on sh and
+    // builds per-partition tables in parallel instead (and both sides are
+    // the same checkpointed frame, so the two exchanges dedupe via
+    // ReuseExchange)
+    a.join(b.hint("shuffle_hash"), "sh")
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("unions", col("na") + col("nb") - col("inter"))
       .where(col("inter") * 4 >= col("unions"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("unions"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardBase(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** Jaccard with a document-frequency cap — the web-scale skew dial: a
     * boilerplate shingle appearing in df documents contributes O(df²)
@@ -162,7 +176,7 @@ object Dedup {
     val cold = inv.join(broadcast(hot), Seq("sh"), "left_anti")
     val a = cold.toDF("sh", "doc_a", "na")
     val b = cold.toDF("sh", "doc_b", "nb")
-    a.join(b, "sh")
+    a.join(b.hint("shuffle_hash"), "sh") // see ngramJaccardBase
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -181,8 +195,10 @@ object Dedup {
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     // no persist here: ConnectedComponents.components localCheckpoints the
-    // pair list once and every downstream consumer reads that
-    val pairs = dedupNgramJaccard(spark, dir)
+    // pair list once and every downstream consumer reads that; the UNORDERED
+    // pair base skips dedupNgramJaccard's presentation sort (the component
+    // labels are order-independent and this query re-sorts by component)
+    val pairs = ngramJaccardBase(spark, dir)
       .select(col("doc_a"), col("doc_b"))
     val labels = ConnectedComponents.components(pairs)
     labels

@@ -344,18 +344,29 @@ object Extraction {
   def extractOcrQueue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     ensureExpectation(spark, dir)
+    // lazily checkpoint the ref list: it feeds BOTH the semi-join key set
+    // and the final per-doc join — without the checkpoint the full
+    // extraction kernel subtree appeared twice in the plan and ran twice
+    // (round-6 plan audit: two identical Union(extract) subtrees)
     val refs = ExtractPipeline.extract(corpus(spark, dir), DemoCfg)
       .filter(_.failure == "")
       .flatMap(d => d.spans.iterator
         .filter(s => s.kind == "media" && s.media_ref.startsWith("pdf:"))
         .map(s => (d.doc_id, s.media_ref)))
       .toDF("doc_id", "media_ref")
+      .localCheckpoint(eager = false)
+    // broadcast the (tiny) triggered-doc key set: the semi-join otherwise
+    // planned sort-merge and shuffled the WHOLE corpus payload on doc_id —
+    // exactly the heavy-bytes shuffle the guide's §8 rule forbids; the
+    // checkpointed key set is |triggered docs| rows and stays broadcastable
+    // while the OCR-triggered minority is small (the scale assumption this
+    // query documents)
     val queuedDocs = corpus(spark, dir)
-      .join(refs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .join(broadcast(refs.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
       .as[Doc]
     val media = graft.pipeline.Multimodal.pdfMediaRows(queuedDocs)
       .toDF().select(col("media_ref"), col("mime"), octet_length(col("bytes")).as("png_bytes"))
-    refs.join(media, Seq("media_ref"))
+    refs.join(broadcast(media), Seq("media_ref"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_images"), sum(col("png_bytes")).as("bytes"))
       .orderBy(substring(col("doc_id"), 4, 12).cast("long"))
@@ -367,7 +378,7 @@ object Extraction {
     */
   def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
     ensureMediaExpectation(spark, dir)
-    val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
+    val media = graft.pipeline.Multimodal.synthesizeClass(spark, corpusSize(dir) / 2, "image")
     graft.pipeline.Multimodal.decodeImages(media)
       .toDF().orderBy(col("media_ref"))
   }
@@ -377,7 +388,7 @@ object Extraction {
     */
   def mediaAudio(spark: SparkSession, dir: String): DataFrame = {
     ensureMediaExpectation(spark, dir)
-    val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
+    val media = graft.pipeline.Multimodal.synthesizeClass(spark, corpusSize(dir) / 2, "audio")
     graft.pipeline.Multimodal.decodeAudio(media)
       .toDF().orderBy(col("media_ref"))
   }
@@ -385,7 +396,7 @@ object Extraction {
   /** Real nearest-neighbor resize over the media table (rows-only). */
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
     ensureMediaExpectation(spark, dir)
-    val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
+    val media = graft.pipeline.Multimodal.synthesizeClass(spark, corpusSize(dir) / 2, "image")
     graft.pipeline.Multimodal.resizeImages(media, maxDim = 12)
       .toDF().select(col("media_ref"), col("width"), col("height"), col("pixel_hash"))
       .orderBy(col("media_ref"))
@@ -393,7 +404,7 @@ object Extraction {
 
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
     ensureMediaExpectation(spark, dir)
-    val media = graft.pipeline.Multimodal.synthesize(spark, corpusSize(dir) / 2)
+    val media = graft.pipeline.Multimodal.synthesizeClass(spark, corpusSize(dir) / 2, "video")
     graft.pipeline.Multimodal.sampleFrames(media, everyMs = 10000)
       .groupBy(col("media_ref")).agg(count(lit(1)).as("n_frames"))
       .orderBy(col("media_ref"))

@@ -210,7 +210,7 @@ object Relational {
     * path; get_json_object is codegen'd and prunes to the props column).
     */
   def qJsonProps(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+    Tables.spread(spark, dir, "events", "event_id")
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))

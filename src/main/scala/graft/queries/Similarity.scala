@@ -37,11 +37,22 @@ object Similarity {
     * quantize_i64 reproduces round()'s HALF_UP ties exactly, parity-tested
     * against the HOF on the real table and random floats).
     */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
-      .select(col("vec_id"),
+  /** `spreadInput` (round 6): the embeddings table is one small parquet
+    * file → a 1-partition scan; queries whose dot-product volume is large
+    * (the two near-dup pair queries) redistribute it first so the kernel
+    * uses the whole core budget. The cheap top-k/bucket queries keep the
+    * plain scan — for them the extra exchange costs more than the 1-task
+    * compute it parallelizes (measured: ann_lsh_buckets 0.22 s plain vs
+    * 0.48 s spread).
+    */
+  private def quantized(spark: SparkSession, dir: String,
+      spreadInput: Boolean = false): DataFrame = {
+    val t = if (spreadInput) Tables.spread(spark, dir, "embeddings", "vec_id")
+      else Tables(spark, dir, "embeddings")
+    t.select(col("vec_id"),
         graft.functions.VectorExpressions.quantize_i64(col("embedding")).as("q"))
       .withColumn("nrm", dot_i64(col("q"), col("q")))
+  }
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def knnBruteforce(spark: SparkSession, dir: String): DataFrame = {
@@ -139,9 +150,9 @@ object Similarity {
       df.select(col("vec_id").as(idName), col("q").as(qName), col("nrm").as(nName))
   }
   private def quantizedA(spark: SparkSession, dir: String) =
-    quantized(spark, dir).asSide("id_a", "qa", "na")
+    quantized(spark, dir, spreadInput = true).asSide("id_a", "qa", "na")
   private def quantizedB(spark: SparkSession, dir: String) =
-    quantized(spark, dir).asSide("id_b", "qb", "nb")
+    quantized(spark, dir, spreadInput = true).asSide("id_b", "qb", "nb")
 
   /** Deterministic md5-derived hyperplane components, identical to the SQL
     * `conv(substring(md5('hp<p>-<d>'),1,15),16,10) % 1001 − 500`. Computed
@@ -198,7 +209,7 @@ object Similarity {
     // verify sides) — lazily localCheckpoint it so the scan+quantize runs
     // once, not 3× (blocks are cleaned when the RDD is GC'd; at cluster
     // scale use .persist() + unpersist for executor-loss tolerance)
-    val v = quantized(spark, dir).localCheckpoint(eager = false)
+    val v = quantized(spark, dir, spreadInput = true).localCheckpoint(eager = false)
     val buckets = (0 until LshTables).map { t =>
       (0 until LshBandPlanes).map { j =>
         val p = t * LshBandPlanes + j

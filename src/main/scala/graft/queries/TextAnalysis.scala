@@ -26,7 +26,7 @@ object TextAnalysis {
     * digit runs, single punctuation) + char count.
     */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"),
         expr(s"size($WordsExpr)").as("ws_tokens"),
         expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))").as("re_tokens"),
@@ -81,7 +81,7 @@ object TextAnalysis {
     * word length in exact x10000 fixed point, combined into a score.
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    withQualityCols(Tables(spark, dir, "documents").withColumn("words", expr(WordsExpr)))
+    withQualityCols(Tables.spread(spark, dir, "documents", "doc_id").withColumn("words", expr(WordsExpr)))
       .select(col("doc_id"),
         length(col("text")).as("n_chars"),
         col("n_words"), col("mean_wlen_x10k"), col("punct_x10k"),
@@ -92,7 +92,7 @@ object TextAnalysis {
     * priority tiebreak en > de > es > fr).
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame =
-    withPredictedLang(Tables(spark, dir, "documents").withColumn("words", expr(WordsExpr)))
+    withPredictedLang(Tables.spread(spark, dir, "documents", "doc_id").withColumn("words", expr(WordsExpr)))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("predicted_lang"))
       .orderBy(col("doc_id"))
@@ -102,7 +102,7 @@ object TextAnalysis {
     * engine: acc*131 + h < 2^62).
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"),
         graft.functions.VectorExpressions.fingerprint64(col("text")).as("fingerprint"),
         expr(s"size($WordsExpr)").as("n_words"))
@@ -114,7 +114,7 @@ object TextAnalysis {
     * approx_count_distinct when ±2% suffices and the shuffle must go).
     */
   def textVocab(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents", "doc_id")
       .select(col("source"), explode(expr(WordsExpr)).as("w"))
       .groupBy(col("source"))
       .agg(countDistinct(col("w")).as("vocab"),
@@ -162,7 +162,7 @@ object TextAnalysis {
     val path = bpExpectedPath(dir)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       import spark.implicits._
-      Tables(spark, dir, "documents")
+      Tables.spread(spark, dir, "documents", "doc_id")
         .select(col("doc_id"), col("source"), col("text"))
         .as[(String, String, String)]
         .map { case (id, src, text) =>
@@ -184,7 +184,7 @@ object TextAnalysis {
     import spark.implicits._
     ensureBoilerplateExpectation(spark, dir)
     val stripped = graft.functions.SpanExpressions.strip_boilerplate(col("html"))
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), col("source"), col("text"))
       .as[(String, String, String)]
       .map { case (id, src, text) => (id, htmlWrap(id, src, text)) }
