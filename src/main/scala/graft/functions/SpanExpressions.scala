@@ -103,8 +103,79 @@ object SpanExpressions {
       copy(child = c)
   }
 
+  /** UTF-16 code-unit count of a UTF8String — exactly Java `String.length`
+    * (code points + one extra unit per supplementary char), computed from
+    * the UTF-8 bytes without materializing a String: non-continuation bytes
+    * count 1, 4-byte leads count 2.
+    */
+  def utf16Len(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var i = 0
+    var len = 0L
+    while (i < n) {
+      val b = s.getByte(i) & 0xFF
+      if (b < 0x80) { len += 1; i += 1 }
+      else if (b < 0xE0) { len += 1; i += 2 }
+      else if (b < 0xF0) { len += 1; i += 3 }
+      else { len += 2; i += 4 }
+    }
+    len
+  }
+
+  /** (n_spans, Σ UTF-16 length of text, media-span count) over a span
+    * array, one pass — static entry point for generated code. Matches the
+    * typed `d.spans.size / map(_.text.length).sum / count(_.kind=="media")`
+    * fold it replaces without deserializing a single Span object.
+    */
+  private val MediaKind = UTF8String.fromString("media")
+
+  def spanStats(spans: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    var nChars = 0L
+    var nMedia = 0
+    var i = 0
+    val n = spans.numElements()
+    while (i < n) {
+      val row = spans.getStruct(i, 4)
+      if (!row.isNullAt(1)) nChars += utf16Len(row.getUTF8String(1))
+      if (!row.isNullAt(0) && row.getUTF8String(0).equals(MediaKind)) nMedia += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, nChars, nMedia))
+  }
+
+  /** span_stats(spans) → struct<n_spans:int, n_chars:bigint, n_media:int> —
+    * the extract_pipeline envelope fold as a codegen'd expression (the
+    * typed Dataset.map it replaces deserialized every span, payload text
+    * included, into JVM objects just to count them).
+    */
+  case class SpanStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = new StructType()
+      .add("n_spans", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("n_chars", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("n_media", org.apache.spark.sql.types.IntegerType, nullable = false)
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 4 &&
+          s(0).dataType == StringType && s(1).dataType == StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "span_stats expects array<struct<kind:string,text:string," +
+          s"media_ref:string,offset:int>>, got ${other.simpleString}")
+    }
+    override def nullSafeEval(spans: Any): Any =
+      spanStats(spans.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.SpanExpressions.spanStats($s);")
+    override protected def withNewChildInternal(c: Expression): SpanStats =
+      copy(child = c)
+  }
+
   // Column-API surface (Spark 4: Column ↔ Expression via the sql-package bridge)
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+
+  def span_stats(spans: Column): Column = toColumn(SpanStats(toExpr(spans)))
 
   def span_byte_cost(spans: Column): Column = toColumn(SpanByteCost(toExpr(spans)))
   def dehyphenate(text: Column, removeNewlines: Column): Column =

@@ -53,7 +53,11 @@ object ConnectedComponents {
       // in self-pairs has no surviving edge — it is its own component)
       val nodes = norm.select(col("u").as("id"))
         .union(norm.select(col("v").as("id"))).distinct()
-      nodes.join(unionFindSingleTask(edges), Seq("id"), "left")
+      // broadcast the union-find labels: they are bounded by
+      // smallGraphEdges (this branch's gate), while the plain join planned
+      // sort-merge with an extra exchange+sort of the node set (round-6
+      // plan audit: the only SMJ left in the dedup suite)
+      nodes.join(broadcast(unionFindSingleTask(edges)), Seq("id"), "left")
         .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     } else largeSmallStar(norm) // NOT `edges`: largeSmallStar builds its
     // node set from its input, and `edges` has self-loops filtered out — a

@@ -234,13 +234,19 @@ object Extraction {
     * the driver; span-level equality runs under `sbt -batch test`.
     */
   def extractPipeline(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     ensureExpectation(spark, dir)
-    extracted(spark, dir)
-      .map(d => (d.doc_id, d.spans.size,
-        d.spans.iterator.map(_.text.length.toLong).sum,
-        d.spans.count(_.kind == "media"), d.failure))
-      .toDF("doc_id", "n_spans", "n_chars", "n_media", "failure")
+    // columnar envelope fold (round 6): the typed .map this replaces
+    // deserialized every ExtractedDoc — payload span texts included — into
+    // JVM objects just to count spans/chars; span_stats computes the same
+    // three values in one codegen'd pass over the serialized span array
+    // (UTF-16 length semantics identical to String.length)
+    val st = graft.functions.SpanExpressions.span_stats(col("spans"))
+    extracted(spark, dir).toDF()
+      .select(col("doc_id"),
+        st.getField("n_spans").as("n_spans"),
+        st.getField("n_chars").as("n_chars"),
+        st.getField("n_media").as("n_media"),
+        col("failure"))
       .orderBy(substring(col("doc_id"), 4, 12).cast("long"))
   }
 
@@ -249,12 +255,13 @@ object Extraction {
     * by seeded rng). Rows-only check (values asserted in ScalaTest).
     */
   def extractFailureCodes(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     ensureExpectation(spark, dir)
-    extracted(spark, dir)
-      .map(d => (if (d.failure.isEmpty) "ok" else d.failure, 1L))
-      .toDF("code", "one")
-      .groupBy(col("code")).agg(sum(col("one")).as("docs"))
+    // column expression instead of a typed map: only `failure` is read, so
+    // Catalyst prunes the span payloads out of the post-kernel projection
+    // entirely (the map deserialized them all); sum-of-ones ≡ count
+    extracted(spark, dir).toDF()
+      .select(when(col("failure") === "", "ok").otherwise(col("failure")).as("code"))
+      .groupBy(col("code")).agg(count(lit(1)).as("docs"))
       .orderBy(col("code"))
   }
 
@@ -265,16 +272,29 @@ object Extraction {
     * generator via a second Spark path (input side), NOT DuckDB (the
     * corpus never materializes as parquet). Registered rows-only.
     */
+  /** Media-ref concatenation as a column expression: filter media spans
+    * FIRST (the payload texts never enter the sort), order the small
+    * media-only array by offset, then join the refs. Equivalent to the
+    * typed `sortBy(_.offset).filter(_.kind=="media").map(_.media_ref)`
+    * fold it replaces — offsets are unique per doc, and filtering commutes
+    * with a sort on a key the filter doesn't touch.
+    */
+  private def mediaRefsCol: org.apache.spark.sql.Column =
+    expr("""array_join(
+             transform(
+               array_sort(
+                 filter(spans, s -> s.kind = 'media'),
+                 (l, r) -> case when l.offset < r.offset then -1
+                                when l.offset > r.offset then 1 else 0 end),
+               s -> s.media_ref), '|')""")
+
   def extractMediaPassthrough(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     ensureExpectation(spark, dir)
-    val inputRefs = corpus(spark, dir)
-      .map(d => (d.doc_id, d.spans.sortBy(_.offset).filter(_.kind == "media").map(_.media_ref).mkString("|")))
-      .toDF("doc_id", "in_refs")
-    val outRefs = extracted(spark, dir)
-      .filter(_.failure == "")
-      .map(d => (d.doc_id, d.spans.sortBy(_.offset).filter(_.kind == "media").map(_.media_ref).mkString("|")))
-      .toDF("doc_id", "out_refs")
+    val inputRefs = corpus(spark, dir).toDF()
+      .select(col("doc_id"), mediaRefsCol.as("in_refs"))
+    val outRefs = extracted(spark, dir).toDF()
+      .where(col("failure") === "")
+      .select(col("doc_id"), mediaRefsCol.as("out_refs"))
     inputRefs.join(outRefs, Seq("doc_id"))
       .select(col("doc_id"),
         (col("in_refs") === col("out_refs")).as("refs_preserved"))
@@ -307,26 +327,34 @@ object Extraction {
     */
   def extractCurate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     ensureExpectation(spark, dir)
-    val texts = extracted(spark, dir)
-      .filter(_.failure == "")
-      .map(d => (d.doc_id,
-        d.spans.iterator.filter(_.kind == "text").map(_.text).mkString("\n")))
-      .toDF("doc_id", "text")
+    // text-span concat as a column expression (filter + transform preserve
+    // span order; kernel output spans are already offset-ordered) — the
+    // typed map deserialized every extracted doc
+    val texts = extracted(spark, dir).toDF()
+      .where(col("failure") === "")
+      .select(col("doc_id"),
+        expr("array_join(transform(filter(spans, s -> s.kind = 'text'), s -> s.text), '\n')").as("text"))
       .where(length(col("text")) > 0)
+    // Score FIRST, dedup SECOND (round 6, guide §2.3/§8: shuffle metadata,
+    // not payloads): quality/langid/decile/length are per-row pure, so
+    // computing them before the md5 window means the dedup exchange carries
+    // ~40 bytes per doc instead of the full extracted text. Identical
+    // result — rn=1 picks the same rows, and the survivors' metrics don't
+    // depend on which side of the shuffle computed them.
+    val scored = TextAnalysis.withPredictedLang(TextAnalysis.withQualityCols(
+        texts.withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))))
+      .withColumn("quality_decile", expr("least(greatest(quality_x10k div 1000, 0L), 9L)"))
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        length(col("text")).as("len"), col("predicted_lang"), col("quality_decile"))
     val firstPerHash = Window.partitionBy(col("h"))
       .orderBy(expr("cast(substring(doc_id, 4, 12) as bigint)").asc)
-    val deduped = texts
-      .withColumn("h", md5(col("text")))
+    scored
       .withColumn("rn", row_number().over(firstPerHash))
       .where(col("rn") === 1)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
-    TextAnalysis.withPredictedLang(TextAnalysis.withQualityCols(deduped))
-      .withColumn("quality_decile", expr("least(greatest(quality_x10k div 1000, 0L), 9L)"))
       .groupBy(col("predicted_lang"), col("quality_decile"))
       .agg(count(lit(1)).as("docs"),
-        sum(length(col("text"))).as("chars"))
+        sum(col("len")).as("chars"))
       .orderBy(col("predicted_lang"), col("quality_decile"))
   }
 
