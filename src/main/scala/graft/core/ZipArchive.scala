@@ -71,6 +71,10 @@ object ZipArchive {
     } finally {
       // bound per-thread retention: one near-cap entry would otherwise pin
       // its ~50 MiB scratch per task thread for the life of the executor.
+      // Worst case (ADVICE r5): 8 MiB here + 8 MiB PdfFile inflate scratch
+      // per task thread — ~0.5 GiB idle retention on a 32-thread executor;
+      // size executor memory (or lower these caps) accordingly on small
+      // (2-4 GiB) executors.
       // Shrink only above 8 MiB, and to 1 MiB rather than the initial
       // 16 KB — a corpus rich in multi-MiB entries keeps reusing the
       // scratch (the whole point of the ThreadLocal) instead of

@@ -28,6 +28,13 @@ final case class PdfRef(num: Int, gen: Int) extends PdfObj
   */
 final class PdfStreamObj private (val dict: PdfDict, src: Array[Byte],
     start: Int, end: Int) extends PdfObj {
+  /** READ-ONLY contract (ADVICE r5): when the slice spans the whole array,
+    * `raw` returns the underlying file buffer itself and the memoized array
+    * is shared across callers — mutating the returned bytes would corrupt
+    * the file buffer / sibling consumers. Every current caller only reads;
+    * a future caller that must mutate (e.g. in-place image transcode) must
+    * clone() first.
+    */
   lazy val raw: Array[Byte] =
     if (start == 0 && end == src.length) src
     else java.util.Arrays.copyOfRange(src, start, end)

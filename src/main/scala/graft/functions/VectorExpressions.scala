@@ -217,6 +217,106 @@ object VectorExpressions {
     acc
   }
 
+  // ---- text quality/langid tallies (one pass; formulas stay in SQL) ------
+
+  /** Word-class bitmask: bit0 stopword, bit1..4 en/de/es/fr stopword sets —
+    * the same literal word lists as the TextAnalysis SQL expressions and
+    * the DuckDB oracles (three-layer contract; edit together).
+    */
+  private val WordMask: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    def add(words: Seq[String], bit: Int): Unit = words.foreach { w =>
+      val k = UTF8String.fromString(w)
+      val old = m.get(k)
+      m.put(k, Integer.valueOf((if (old == null) 0 else old.intValue()) | bit))
+    }
+    add(Seq("the", "and", "of", "to", "a", "in", "is", "der", "die", "das",
+      "und", "el", "la", "de"), 1)
+    add(Seq("the", "and", "of", "to", "a", "in", "is", "for", "on", "with"), 2)
+    add(Seq("der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"), 4)
+    add(Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "un"), 8)
+    add(Seq("le", "la", "les", "et", "des", "un", "une", "du", "dans", "est"), 16)
+    m
+  }
+
+  /** Raw tallies for the quality/langid formulas, one byte pass + one word
+    * pass: (n_words, Σ word code points, text code points, code points not
+    * in [A-Za-z0-9 ], stopword hits, distinct words, en/de/es/fr set hits).
+    * Exactly the values the interpreted `filter/aggregate/array_distinct`
+    * HOF stack computed per row (words = split on U+0020 minus empties;
+    * lengths are code points — Spark `length`; distinctness is exact string
+    * equality). Static entry point for generated code.
+    */
+  def textStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    var nCp = 0L
+    var nPunct = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      val step = if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4
+      nCp += 1
+      if (!(step == 1 && ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+        (b >= '0' && b <= '9') || b == ' '))) nPunct += 1
+      i += step
+    }
+    val (starts, ends, nWords) = wordRanges(bytes)
+    var sumWlen = 0L
+    var nStop = 0
+    var sEn = 0
+    var sDe = 0
+    var sEs = 0
+    var sFr = 0
+    val seen = new java.util.HashSet[UTF8String]()
+    var w = 0
+    while (w < nWords) {
+      var j = starts(w)
+      while (j < ends(w)) {
+        val b = bytes(j) & 0xFF
+        j += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+        sumWlen += 1
+      }
+      val u = UTF8String.fromBytes(bytes, starts(w), ends(w) - starts(w))
+      val mObj = WordMask.get(u)
+      if (mObj != null) {
+        val m = mObj.intValue()
+        if ((m & 1) != 0) nStop += 1
+        if ((m & 2) != 0) sEn += 1
+        if ((m & 4) != 0) sDe += 1
+        if ((m & 8) != 0) sEs += 1
+        if ((m & 16) != 0) sFr += 1
+      }
+      seen.add(u)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, sumWlen, nCp, nPunct, nStop, seen.size(), sEn, sDe, sEs, sFr))
+  }
+
+  /** text_stats(text) → struct of the raw quality/langid tallies. */
+  case class TextStats(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = new StructType()
+      .add("n_words", IntegerType, nullable = false)
+      .add("sum_wlen", LongType, nullable = false)
+      .add("n_cp", LongType, nullable = false)
+      .add("n_punct", LongType, nullable = false)
+      .add("n_stop", IntegerType, nullable = false)
+      .add("n_uniq", IntegerType, nullable = false)
+      .add("s_en", IntegerType, nullable = false)
+      .add("s_de", IntegerType, nullable = false)
+      .add("s_es", IntegerType, nullable = false)
+      .add("s_fr", IntegerType, nullable = false)
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(t: Any): Any = textStats(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.VectorExpressions.textStats($t);")
+    override protected def withNewChildInternal(c: Expression): TextStats =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ expressions
 
   // Every expression declares ImplicitCastInputTypes: these are registered
@@ -336,4 +436,5 @@ object VectorExpressions {
   def simhash32(text: Column): Column = toColumn(Simhash32(toExpr(text)))
   def quantize_i64(a: Column): Column = toColumn(QuantizeI64(toExpr(a)))
   def fingerprint64(text: Column): Column = toColumn(Fingerprint64(toExpr(text)))
+  def text_stats(text: Column): Column = toColumn(TextStats(toExpr(text)))
 }

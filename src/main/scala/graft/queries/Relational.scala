@@ -29,6 +29,12 @@ object Relational {
     * scale; the scan is the cost and it prunes to 7 columns.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    // round 6: measured a spread floor here (the lineitem file is one row
+    // group → single-task scan) and REVERTED it — the added exchange of
+    // ~594k filtered rows costs more than it parallelizes (0.62 s vs
+    // 0.63 s, inside noise); the single-task decimal aggregate is not the
+    // bottleneck at this sf. q18 keeps its spread because there the
+    // repartition key IS the group key (no extra exchange).
     val li = Tables(spark, dir, "lineitem")
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -319,7 +325,10 @@ object Relational {
     * key set is small → broadcast semi-join back against orders.
     */
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    // spread keyed on the GROUP key: the aggregate's required clustering is
+    // already satisfied, so this adds parallelism with NO extra exchange
+    val li = Tables.spread(spark, dir, "lineitem", "l_orderkey")
+      .select(col("l_orderkey"), col("l_quantity"))
     val big = li.groupBy(col("l_orderkey"))
       .agg(sum(dec2(col("l_quantity"))).as("sum_qty"))
       .where(col("sum_qty") > lit(BigDecimal(120)).cast(D2))

@@ -42,18 +42,25 @@ object TextAnalysis {
     * all three together or the hash compare breaks with a cross-layer diff.
     */
   private[queries] def withQualityCols(df: DataFrame): DataFrame = {
-    val stops = "'the','and','of','to','a','in','is','der','die','das','und','el','la','de'"
-    df.withColumn("n_words", expr("size(words)"))
+    // round 6: the raw tallies (word count, Σ word length, punct chars,
+    // stopword hits, distinct words) come from ONE codegen'd pass
+    // (text_stats) instead of six interpreted HOF folds over the words
+    // array; the x10k fixed-point FORMULAS are unchanged and still live
+    // here in SQL form — same values, same types, same three-layer
+    // contract with seqCurate and the DuckDB oracles.
+    df.withColumn("q_ts", graft.functions.VectorExpressions.text_stats(col("text")))
+      .withColumn("n_words", expr("q_ts.n_words"))
       .withColumn("mean_wlen_x10k",
-        expr("aggregate(words, 0L, (a, w) -> a + length(w)) * 10000L div greatest(n_words, 1)"))
+        expr("q_ts.sum_wlen * 10000L div greatest(n_words, 1)"))
       .withColumn("punct_x10k",
-        expr("length(regexp_replace(text, '[A-Za-z0-9 ]', '')) * 10000L div greatest(length(text), 1)"))
+        expr("q_ts.n_punct * 10000L div greatest(q_ts.n_cp, 1L)"))
       .withColumn("stop_x10k",
-        expr(s"size(filter(words, w -> w in ($stops))) * 10000L div greatest(n_words, 1)"))
+        expr("q_ts.n_stop * 10000L div greatest(n_words, 1)"))
       .withColumn("uniq_x10k",
-        expr("size(array_distinct(words)) * 10000L div greatest(n_words, 1)"))
+        expr("q_ts.n_uniq * 10000L div greatest(n_words, 1)"))
       .withColumn("quality_x10k",
         expr("(stop_x10k * 3 + uniq_x10k * 2 + (10000 - punct_x10k) * 5) div 10"))
+      .drop("q_ts")
   }
 
   /** Stopword-hit language scores + prediction over a `words` column —
@@ -62,19 +69,21 @@ object TextAnalysis {
     * three in lockstep (see [[withQualityCols]]).
     */
   private[queries] def withPredictedLang(df: DataFrame): DataFrame = {
-    val en = "'the','and','of','to','a','in','is','for','on','with'"
-    val de = "'der','die','das','und','ist','von','mit','für','auf','ein'"
-    val es = "'el','la','de','que','y','en','los','se','del','un'"
-    val fr = "'le','la','les','et','des','un','une','du','dans','est'"
-    df.withColumn("s_en", expr(s"size(filter(words, w -> w in ($en)))"))
-      .withColumn("s_de", expr(s"size(filter(words, w -> w in ($de)))"))
-      .withColumn("s_es", expr(s"size(filter(words, w -> w in ($es)))"))
-      .withColumn("s_fr", expr(s"size(filter(words, w -> w in ($fr)))"))
+    // language-set hit counts from the same one-pass text_stats kernel
+    // (word lists live in VectorExpressions.WordMask — three-layer
+    // contract with seqCurate and the oracle SQL); the priority-tiebreak
+    // CASE is unchanged
+    df.withColumn("l_ts", graft.functions.VectorExpressions.text_stats(col("text")))
+      .withColumn("s_en", expr("l_ts.s_en"))
+      .withColumn("s_de", expr("l_ts.s_de"))
+      .withColumn("s_es", expr("l_ts.s_es"))
+      .withColumn("s_fr", expr("l_ts.s_fr"))
       .withColumn("predicted_lang",
         expr("""case when s_en >= greatest(s_de, s_es, s_fr) then 'en'
                      when s_de >= greatest(s_es, s_fr) then 'de'
                      when s_es >= s_fr then 'es'
                      else 'fr' end"""))
+      .drop("l_ts")
   }
 
   /** Quality scoring: punctuation / stopword / unique-word ratios and mean
