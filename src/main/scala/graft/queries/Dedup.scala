@@ -90,7 +90,7 @@ object Dedup {
     * bit_count(xor) ≤ 3, exact in both engines.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.spread(spark, dir, "documents", "doc_id")
+    val sigs = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.VectorExpressions.simhash32(col("text")).as("simhash"))
     val bands = sigs.select(col("doc_id"), col("simhash"),
@@ -112,10 +112,13 @@ object Dedup {
   /** Distinct shingle sets (strings — the Jaccard contract hashes nothing,
     * so two distinct shingles never collide).
     */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(spark, dir, "documents", "doc_id")
-      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sset"))
+  private def shingleSets(spark: SparkSession, dir: String,
+      spreadInput: Boolean = true): DataFrame = {
+    val t = if (spreadInput) Tables.spread(spark, dir, "documents", "doc_id")
+      else Tables(spark, dir, "documents")
+    t.select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sset"))
       .select(col("doc_id"), col("sset"), size(col("sset")).as("nsh"))
+  }
 
   /** N-gram Jaccard near-dup pairs (threshold 0.25, exact): inverted index
     * on distinct shingles → pair intersection counts → integer-compare
@@ -167,7 +170,7 @@ object Dedup {
     */
   def dedupNgramJaccardCapped(spark: SparkSession, dir: String,
       maxDf: Long = 8L): DataFrame = {
-    val inv = shingleSets(spark, dir)
+    val inv = shingleSets(spark, dir, spreadInput = false)
       .select(col("doc_id"), col("nsh"), explode(col("sset")).as("sh"))
       .localCheckpoint(eager = false) // shared by DF count + both join sides
     val hot = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
