@@ -31,6 +31,42 @@ class SpanExpressionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [dehyphenate("), plan) // '*' = codegen'd stage
   }
 
+  test("span_stats matches the typed envelope fold, incl. UTF-16 surrogate lengths") {
+    import spark.implicits._
+    import graft.pipeline.Span
+    // adversarial spans: empty arrays, empty texts, multi-byte (é = 2 UTF-8
+    // bytes / 1 UTF-16 unit), supplementary chars (emoji = 4 UTF-8 bytes /
+    // 2 UTF-16 units — String.length counts 2), media/non-media kinds
+    val docs = Seq(
+      ("d1", Seq(Span("text", "hello", "", 0), Span("media", "", "img:1", 1))),
+      ("d2", Seq.empty[Span]),
+      ("d3", Seq(Span("text", "héllo 😀 wörld", "", 0),
+        Span("media", "x", "img:2", 5), Span("text", "", "", 9))),
+      ("d4", Seq(Span("text", "😀😁", "", 0))),
+      ("d5", Seq(Span("page", "pg", "", 0), Span("media", "m", "r", 1),
+        Span("media", "", "r2", 2)))
+    )
+    // the pre-round-6 typed fold these semantics must match exactly
+    val expect = docs.map { case (id, spans) =>
+      id -> ((spans.size, spans.iterator.map(_.text.length.toLong).sum,
+        spans.count(_.kind == "media")))
+    }.toMap
+    val st = SpanExpressions.span_stats(col("spans"))
+    val got = docs.toDF("doc_id", "spans")
+      .select(col("doc_id"), st.getField("n_spans").as("a"),
+        st.getField("n_chars").as("b"), st.getField("n_media").as("c"))
+      .as[(String, Int, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expect)
+    // codegen participation on a real (non-local) scan
+    val plan = spark.range(2)
+      .select(SpanExpressions.span_stats(
+        org.apache.spark.sql.functions.expr(
+          "array(named_struct('kind', 'text', 'text', cast(id as string), 'media_ref', '', 'offset', 0))")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("strip_boilerplate expression") {
     import spark.implicits._
     SpanExpressions.register(spark)

@@ -134,6 +134,62 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .where(not(col("expect") === col("got"))).count() == 0)
   }
 
+  test("text_stats matches the six HOF quality/langid formulas it replaced") {
+    import spark.implicits._
+    val stops = "'the','and','of','to','a','in','is','der','die','das','und','el','la','de'"
+    val en = "'the','and','of','to','a','in','is','for','on','with'"
+    val de = "'der','die','das','und','ist','von','mit','für','auf','ein'"
+    val es = "'el','la','de','que','y','en','los','se','del','un'"
+    val fr = "'le','la','les','et','des','un','une','du','dans','est'"
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab c!.é für😀 de la un est l0 9"
+    val fuzz = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val texts = (Seq(
+      "the quick brown fox and the lazy dog in a log",
+      "der die das und ist von mit für auf ein",
+      "el la de que y en los se del un",
+      "le la les et des un une du dans est",
+      "", " ", "   ",
+      "punct!!! marks??? and, some. more; here: ok",
+      "Ünïcödé wörds ärê fîne tøø ünïcödé wörds",
+      "emoji 😀 inside 😀😁 words",
+      "a b a b a b a b",
+      "für FÜR für Für",
+      "x\ty embedded\ttabs stay inside words"
+    ) ++ fuzz).toDF("text")
+    val cmp = texts
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("ts", text_stats(col("text")))
+      .withColumn("e_nw", expr("size(words)"))
+      .withColumn("e_sum", expr("aggregate(words, 0L, (a, w) -> a + length(w))"))
+      .withColumn("e_ncp", expr("cast(length(text) as bigint)"))
+      .withColumn("e_punct", expr("cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '')) as bigint)"))
+      .withColumn("e_stop", expr(s"size(filter(words, w -> w in ($stops)))"))
+      .withColumn("e_uniq", expr("size(array_distinct(words))"))
+      .withColumn("e_en", expr(s"size(filter(words, w -> w in ($en)))"))
+      .withColumn("e_de", expr(s"size(filter(words, w -> w in ($de)))"))
+      .withColumn("e_es", expr(s"size(filter(words, w -> w in ($es)))"))
+      .withColumn("e_fr", expr(s"size(filter(words, w -> w in ($fr)))"))
+    val bad = cmp.where(
+      col("ts.n_words") =!= col("e_nw") or
+      col("ts.sum_wlen") =!= col("e_sum") or
+      col("ts.n_cp") =!= col("e_ncp") or
+      col("ts.n_punct") =!= col("e_punct") or
+      col("ts.n_stop") =!= col("e_stop") or
+      col("ts.n_uniq") =!= col("e_uniq") or
+      col("ts.s_en") =!= col("e_en") or
+      col("ts.s_de") =!= col("e_de") or
+      col("ts.s_es") =!= col("e_es") or
+      col("ts.s_fr") =!= col("e_fr"))
+    assert(bad.count() == 0, bad.select("text").collect().take(3).mkString("; "))
+    // codegen participation
+    val plan = spark.range(3)
+      .select(text_stats(col("id").cast("string")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("hyperplane literals match the per-row md5 SQL derivation") {
     import graft.queries.Similarity
     val h0 = Similarity.hyperplane(0, 4)
