@@ -19,8 +19,9 @@ object ClusterBench {
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master(s"local-cluster[$workers,$coresPer,2048]")
-      .config("spark.executor.extraClassPath",
-        "/root/repo/target/scala-2.13/classes")
+      // real executor heap, not the 1g default (see ClusterPairChild)
+      .config("spark.executor.memory", "2048m")
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
       .config("spark.sql.shuffle.partitions", (workers * coresPer).toString)
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "65536")

@@ -89,9 +89,15 @@ object ClusterPairChild {
     val memMb = sys.env.getOrElse("GRAFT_CLUSTER_MEM_MB", "4096").toInt
     val b = SparkSession.builder()
       .master(s"local-cluster[$workers,2,$memMb]")
-      .config("spark.executor.extraClassPath",
-        "/root/repo/target/scala-2.13/classes:" +
-          "/root/repo/target/scala-2.13/textextractionservicespark_2.13-0.1.0.jar")
+      // the local-cluster master's third field is only the WORKER's
+      // offerable memory; the executor JVM heap comes from
+      // spark.executor.memory (default 1g) — without this line the
+      // "$memMb MB executors" were really 1 GiB heaps (r5 verdict #2)
+      .config("spark.executor.memory", s"${memMb}m")
+      // executors need the app classes; the parent spawned this child with
+      // the full classpath, so pass it through instead of hardcoding a
+      // checkout path (r5 verdict #7)
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
       // wait for EVERY executor before the first job — registration is
       // asynchronous and a job otherwise lands on whichever subset exists
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")

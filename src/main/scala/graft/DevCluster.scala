@@ -30,9 +30,9 @@ object DevCluster {
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master(s"local-cluster[$workers,2,2048]")
-      .config("spark.executor.extraClassPath",
-        "/root/repo/target/scala-2.13/classes:" +
-          "/root/repo/target/scala-2.13/textextractionservicespark_2.13-0.1.0.jar")
+      // real executor heap, not the 1g default (see ClusterPairChild)
+      .config("spark.executor.memory", "2048m")
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
       .config("spark.sql.shuffle.partitions", (workers * 2).toString)

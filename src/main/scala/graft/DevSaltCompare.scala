@@ -30,9 +30,9 @@ object DevSaltCompare {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     if (clusterMode) b
-      .config("spark.executor.extraClassPath",
-        "/root/repo/target/scala-2.13/classes:" +
-          "/root/repo/target/scala-2.13/textextractionservicespark_2.13-0.1.0.jar")
+      // real executor heap, not the 1g default (see ClusterPairChild)
+      .config("spark.executor.memory", s"${memMb}m")
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
       // match ClusterPairChild's executor sizing (cgroup-model thread pools)
